@@ -1,0 +1,106 @@
+"""SAM mask decoder (reference modeling/mask_decoder.py:16-191), TPU-first.
+
+IoU token + 4 mask tokens prepended to prompt tokens, two-way transformer
+against the image embedding, transposed-conv upscaling (x4), hypernetwork
+MLPs per mask token, and the IoU prediction head.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llmseg_tpu.config import SamDecoderConfig
+from llmseg_tpu.models import layers as L
+from llmseg_tpu.models.sam import two_way_transformer as twt
+
+
+def _convt_init(key, in_ch, out_ch, kernel, dtype=jnp.float32):
+    return {"w": L._lecun_normal(key, (kernel, kernel, in_ch, out_ch), dtype),
+            "b": jnp.zeros((out_ch,), dtype)}
+
+
+def _convt(p, x, stride):
+    """Transposed conv, NHWC."""
+    y = jax.lax.conv_transpose(
+        x, p["w"], strides=(stride, stride), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["b"]
+
+
+def init(key, cfg: SamDecoderConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 12)
+    d = cfg.transformer_dim
+    num_tokens = cfg.num_multimask_outputs + 1
+    return {
+        "iou_token": jnp.asarray(
+            jax.random.normal(keys[0], (1, d), jnp.float32), dtype),
+        "mask_tokens": jnp.asarray(
+            jax.random.normal(keys[1], (num_tokens, d), jnp.float32), dtype),
+        "transformer": twt.init(keys[2], cfg.transformer_depth, d,
+                                cfg.transformer_num_heads,
+                                cfg.transformer_mlp_dim, dtype),
+        "upscale_conv1": _convt_init(keys[3], d, d // 4, 2, dtype),
+        "upscale_ln": L.layernorm2d_init(d // 4, dtype),
+        "upscale_conv2": _convt_init(keys[4], d // 4, d // 8, 2, dtype),
+        "hyper_mlps": [L.mlp_stack_init(keys[5 + i], [d, d, d, d // 8], dtype)
+                       for i in range(num_tokens)],
+        "iou_head": L.mlp_stack_init(
+            keys[10], [d] + [cfg.iou_head_hidden_dim] * (cfg.iou_head_depth - 1)
+            + [num_tokens], dtype),
+    }
+
+
+def predict_masks(p: dict, cfg: SamDecoderConfig,
+                  image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
+                  sparse_prompt: jnp.ndarray, dense_prompt: jnp.ndarray
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """reference predict_masks:116-164.
+
+    image_embeddings: (B, S, S, C) or (1, S, S, C) broadcast over prompts;
+    sparse_prompt: (B, N, C); dense_prompt: (B, S, S, C).
+    Returns (masks (B, num_tokens, 4S, 4S), iou_pred (B, num_tokens)).
+    """
+    B = sparse_prompt.shape[0]
+    d = cfg.transformer_dim
+    num_tokens = cfg.num_multimask_outputs + 1
+
+    output_tokens = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
+    output_tokens = jnp.broadcast_to(output_tokens[None], (B, num_tokens + 1, d))
+    tokens = jnp.concatenate(
+        [output_tokens, sparse_prompt.astype(output_tokens.dtype)], axis=1)
+
+    src = image_embeddings
+    if src.shape[0] == 1 and B > 1:
+        src = jnp.broadcast_to(src, (B,) + src.shape[1:])
+    src = src + dense_prompt
+    S = src.shape[1]
+
+    hs, keys = twt.apply(p["transformer"], src, image_pe, tokens,
+                         cfg.transformer_num_heads)
+    iou_token_out = hs[:, 0]
+    mask_tokens_out = hs[:, 1:1 + num_tokens]
+
+    src = keys.reshape(B, S, S, d)
+    up = _convt(p["upscale_conv1"], src, 2)
+    up = jax.nn.gelu(L.layernorm2d(p["upscale_ln"], up))
+    up = jax.nn.gelu(_convt(p["upscale_conv2"], up, 2))      # (B, 4S, 4S, d/8)
+
+    hyper = jnp.stack([L.mlp_stack(mp, mask_tokens_out[:, i])
+                       for i, mp in enumerate(p["hyper_mlps"])], axis=1)
+    masks = jnp.einsum("bnc,bhwc->bnhw", hyper, up,
+                       preferred_element_type=jnp.float32)
+    iou_pred = L.mlp_stack(p["iou_head"], iou_token_out)
+    return masks, iou_pred
+
+
+def apply(p: dict, cfg: SamDecoderConfig, image_embeddings, image_pe,
+          sparse_prompt, dense_prompt, multimask_output: bool = True):
+    """reference MaskDecoder.forward:77-114: slice multimask (1:4) or single (0:1)."""
+    masks, iou_pred = predict_masks(p, cfg, image_embeddings, image_pe,
+                                    sparse_prompt, dense_prompt)
+    if multimask_output:
+        return masks[:, 1:], iou_pred[:, 1:]
+    return masks[:, 0:1], iou_pred[:, 0:1]

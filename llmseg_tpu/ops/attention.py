@@ -1,0 +1,400 @@
+"""Attention primitives: Pallas TPU flash attention + XLA reference path.
+
+TPU-native replacement for the reference's two GPU attention routes:
+  * vendored Triton flash kernel (reference model/llava/model/language_model/
+    mpt/flash_attn_triton.py) and
+  * the flash-attn CUDA monkey-patch (reference model/llava/train/
+    llama_flash_attn_monkey_patch.py).
+
+One kernel serves LLaMA (causal), the selection head and SAM decoder
+(bidirectional, optional additive bias).  The public entry is
+:func:`attention`; it dispatches to the Pallas kernel on TPU for sequences
+long enough to matter and to a fused XLA softmax-attention otherwise.
+
+Layout: q (B, T, H, D), k/v (B, S, H, D) -> out (B, T, H, D).
+Softmax statistics are fp32 throughout; matmuls hit the MXU in input dtype.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+
+def _prec(x):
+    # HIGHEST forces true-fp32 MXU passes for fp32 operands (and exact CPU
+    # matmuls in tests); for bf16 operands the native MXU path is already
+    # exact-in-dtype and Mosaic rejects HIGHEST, so use default.
+    return HIGHEST if x.dtype == jnp.float32 else None
+
+NEG_INF = -1e9  # finite: keeps exp() NaN-free for fully masked rows
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _round_up(a, b):
+    return _cdiv(a, b) * b
+
+
+# ---------------------------------------------------------------------------
+# XLA reference path
+# ---------------------------------------------------------------------------
+
+
+def attention_xla(q, k, v, *, bias=None, causal=False, scale=None):
+    """Plain attention; XLA fuses this well at short sequence lengths.
+
+    q: (B, T, H, D); k, v: (B, S, H, D); bias broadcastable to (B, H, T, S).
+    """
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    scale = (1.0 / math.sqrt(D)) if scale is None else scale
+    logits = jnp.einsum("bthd,bshd->bhts", q, k,
+                        preferred_element_type=jnp.float32,
+                        precision=_prec(q)) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (T, S), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (T, S), 1)
+        logits = jnp.where((col <= row)[None, None], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhts,bshd->bthd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32,
+                     precision=_prec(v))
+    return out.astype(q.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, causal, scale,
+                block_q, block_k, s_real, num_k_blocks):
+    qi = pl.program_id(1)
+    q = q_ref[0]                                          # (Bq, D) native dtype
+    m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    if causal:
+        hi = jax.lax.div(qi * block_q + block_q + block_k - 1, block_k)
+        hi = jnp.minimum(hi, num_k_blocks)
+    else:
+        hi = num_k_blocks
+
+    row_ids = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(kj, carry):
+        m, l, acc = carry
+        kblk = k_ref[0, pl.ds(kj * block_k, block_k), :]
+        vblk = v_ref[0, pl.ds(kj * block_k, block_k), :]
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q)) * scale                    # (Bq, Bk) fp32
+        col_ids = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col_ids < s_real
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot(
+            p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32,
+            precision=_prec(vblk))
+        return m_new, l_new, acc_new
+
+    m, l, acc = jax.lax.fori_loop(0, hi, body, (m, l, acc))
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m + jnp.log(l_safe)
+
+
+def _flash_fwd(q, k, v, *, causal, scale, block_q, block_k, s_real):
+    """q: (BH, T, D) padded; k, v: (BH, S, D) padded."""
+    BH, T, D = q.shape
+    S = k.shape[1]
+    nq, nk = T // block_q, S // block_k
+    kern = functools.partial(
+        _fwd_kernel, causal=causal, scale=scale, block_q=block_q,
+        block_k=block_k, s_real=s_real, num_k_blocks=nk)
+    o, lse = pl.pallas_call(
+        kern,
+        grid=(BH, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, T, D), q.dtype),
+            jax.ShapeDtypeStruct((BH, T, 1), jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * T * S * D,
+            bytes_accessed=2 * BH * (T + 2 * S) * D * q.dtype.itemsize,
+            transcendentals=BH * T * S),
+            interpret=_interpret(),
+    )(q, k, v)
+    return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Pallas flash attention — backward
+# ---------------------------------------------------------------------------
+
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, *,
+                   causal, scale, block_q, block_k, s_real, num_k_blocks):
+    qi = pl.program_id(1)
+    q = q_ref[0]
+    o = o_ref[0].astype(jnp.float32)
+    do = do_ref[0]
+    lse = lse_ref[0]                                         # (Bq, 1)
+    delta = jnp.sum(do.astype(jnp.float32) * o, axis=-1,
+                    keepdims=True)                           # (Bq, 1)
+    dq = jnp.zeros((q.shape[0], q.shape[1]), jnp.float32)
+
+    if causal:
+        hi = jax.lax.div(qi * block_q + block_q + block_k - 1, block_k)
+        hi = jnp.minimum(hi, num_k_blocks)
+    else:
+        hi = num_k_blocks
+
+    row_ids = qi * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0)
+
+    def body(kj, dq):
+        kblk = k_ref[0, pl.ds(kj * block_k, block_k), :]
+        vblk = v_ref[0, pl.ds(kj * block_k, block_k), :]
+        s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q)) * scale
+        col_ids = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        mask = col_ids < s_real
+        if causal:
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, vblk, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_prec(do))
+        ds = p * (dp - delta)
+        return dq + jax.lax.dot(ds.astype(kblk.dtype), kblk,
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(kblk))
+
+    dq = jax.lax.fori_loop(0, hi, body, dq)
+    dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
+                    dk_ref, dv_ref, *, causal, scale, block_q, block_k,
+                    s_real, num_q_blocks):
+    kj = pl.program_id(1)
+    k = k_ref[0]                                             # (Bk, D)
+    v = v_ref[0]
+    dk = jnp.zeros(k.shape, jnp.float32)
+    dv = jnp.zeros(v.shape, jnp.float32)
+
+    if causal:
+        lo = jax.lax.div(kj * block_k, block_q)
+    else:
+        lo = 0
+
+    col_ids = kj * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1)
+
+    def body(qi, carry):
+        dk, dv = carry
+        qblk = q_ref[0, pl.ds(qi * block_q, block_q), :]
+        oblk = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
+        doblk = do_ref[0, pl.ds(qi * block_q, block_q), :]
+        lse = lse_ref[0, pl.ds(qi * block_q, block_q), :]
+        delta = jnp.sum(doblk.astype(jnp.float32) * oblk, axis=-1,
+                        keepdims=True)
+        s = jax.lax.dot_general(qblk, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(qblk)) * scale
+        mask = col_ids < s_real
+        if causal:
+            row_ids = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            mask = jnp.logical_and(mask, col_ids <= row_ids)
+        s = jnp.where(mask, s, NEG_INF)
+        p = jnp.exp(s - lse)                                 # (Bq, Bk)
+        pc = p.astype(doblk.dtype)
+        dv = dv + jax.lax.dot_general(pc, doblk, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=_prec(doblk))
+        dp = jax.lax.dot_general(doblk, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_prec(v))
+        ds = (p * (dp - delta)).astype(qblk.dtype)
+        dk = dk + jax.lax.dot_general(ds, qblk, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32,
+                                      precision=_prec(qblk))
+        return dk, dv
+
+    dk, dv = jax.lax.fori_loop(lo, num_q_blocks, body, (dk, dv))
+    dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+def _flash_bwd(res, g, *, causal, scale, block_q, block_k, s_real):
+    q, k, v, o, lse = res
+    BH, T, D = q.shape
+    S = k.shape[1]
+    nq, nk = T // block_q, S // block_k
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k, s_real=s_real,
+                          num_k_blocks=nk),
+        grid=(BH, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, 1), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, T, D), q.dtype),
+            interpret=_interpret(),
+    )(q, k, v, o, g, lse)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, causal=causal, scale=scale,
+                          block_q=block_q, block_k=block_k, s_real=s_real,
+                          num_q_blocks=nq),
+        grid=(BH, nk),
+        in_specs=[
+            pl.BlockSpec((1, T, D), lambda bh, kj: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, kj: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, kj: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda bh, kj: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, D), lambda bh, kj: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 1), lambda bh, kj: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, block_k, D), lambda bh, kj: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, D), lambda bh, kj: (bh, kj, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, S, D), k.dtype),
+            jax.ShapeDtypeStruct((BH, S, D), v.dtype),
+        ],
+            interpret=_interpret(),
+    )(q, k, v, o, g, lse)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, causal, scale, block_q, block_k, s_real):
+    o, _ = _flash_fwd(q, k, v, causal=causal, scale=scale, block_q=block_q,
+                      block_k=block_k, s_real=s_real)
+    return o
+
+
+def _flash_attention_fwd(q, k, v, causal, scale, block_q, block_k, s_real):
+    o, lse = _flash_fwd(q, k, v, causal=causal, scale=scale, block_q=block_q,
+                        block_k=block_k, s_real=s_real)
+    return o, (q, k, v, o, lse)
+
+
+def _flash_attention_bwd(causal, scale, block_q, block_k, s_real, res, g):
+    return _flash_bwd(res, g, causal=causal, scale=scale, block_q=block_q,
+                      block_k=block_k, s_real=s_real)
+
+
+_flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Public entry
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(q, k, v, *, causal=False, scale=None,
+                    block_q=256, block_k=256):
+    """Pallas flash attention.  q: (B, T, H, D); k, v: (B, S, H, D).
+
+    T, S, D are padded internally to hardware-friendly multiples; key padding
+    is masked inside the kernel, query padding is sliced off the output.
+    """
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    scale = (1.0 / math.sqrt(D)) if scale is None else scale
+    block_q = min(block_q, _round_up(T, 128))
+    block_k = min(block_k, _round_up(S, 128))
+    Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
+    Dp = _round_up(D, 128)
+
+    def _prep(x, L, Lp):
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0), (0, Dp - D)))
+        return x.transpose(0, 2, 1, 3).reshape(B * H, Lp, Dp)
+
+    qf, kf, vf = _prep(q, T, Tp), _prep(k, S, Sp), _prep(v, S, Sp)
+    o = _flash_attention(qf, kf, vf, causal, scale, block_q, block_k, S)
+    o = o.reshape(B, H, Tp, Dp).transpose(0, 2, 1, 3)
+    return o[:, :T, :, :D]
+
+
+def attention(q, k, v, *, bias=None, causal=False, scale=None, impl="auto"):
+    """Dispatching attention entry point.
+
+    impl: 'auto' | 'flash' | 'xla'.  'auto' uses the Pallas kernel on TPU for
+    bias-free attention with enough tokens to amortize kernel launch, else XLA.
+    """
+    if impl == "flash" or (impl == "auto" and bias is None
+                           and q.shape[1] >= 256
+                           and jax.default_backend() == "tpu"):
+        return flash_attention(q, k, v, causal=causal, scale=scale)
+    return attention_xla(q, k, v, bias=bias, causal=causal, scale=scale)
