@@ -118,8 +118,10 @@ def apply(p: dict, image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
     (B, N, C).  Returns (queries (B,N,C), keys (B,S*S,C))."""
     B, Hs, Ws, C = image_embedding.shape
     keys = image_embedding.reshape(B, Hs * Ws, C)
-    key_pe = image_pe.reshape(1, Hs * Ws, C) if image_pe.ndim == 3 else \
-        image_pe.reshape(B, Hs * Ws, C)
+    if image_pe.ndim == 3:                       # (S, S, C)
+        key_pe = image_pe.reshape(1, Hs * Ws, C)
+    else:                                        # (1 or B, S, S, C)
+        key_pe = image_pe.reshape(image_pe.shape[0], Hs * Ws, C)
     queries = point_embedding
 
     for i, lp in enumerate(p["layers"]):

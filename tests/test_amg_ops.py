@@ -1,0 +1,84 @@
+import jax.numpy as jnp
+import numpy as np
+
+from llmseg_tpu.ops import amg_utils, nms
+
+
+def test_point_grid():
+    g = amg_utils.build_point_grid(4)
+    assert g.shape == (16, 2)
+    assert np.isclose(g[0, 0], 1 / 8) and np.isclose(g[-1, 1], 7 / 8)
+    # x varies fastest
+    assert np.isclose(g[1, 0] - g[0, 0], 1 / 4)
+    assert np.isclose(g[1, 1], g[0, 1])
+
+
+def test_stability_score():
+    logits = jnp.array([[[-2.0, 0.5], [1.5, 3.0]]])
+    # threshold 0, offset 1: hi = logits>1 -> 2 px; lo = logits>-1 -> 3 px
+    s = amg_utils.calculate_stability_score(logits, 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(s), [2 / 3], rtol=1e-6)
+
+
+def test_mask_to_box():
+    m = np.zeros((2, 8, 8), bool)
+    m[0, 2:5, 3:7] = True
+    boxes = amg_utils.batched_mask_to_box(jnp.asarray(m))
+    np.testing.assert_array_equal(np.asarray(boxes[0]), [3, 2, 7, 5])
+    np.testing.assert_array_equal(np.asarray(boxes[1]), [0, 0, 0, 0])
+
+
+def test_box_iou():
+    a = jnp.array([[0.0, 0, 10, 10]])
+    b = jnp.array([[5.0, 5, 15, 15], [20.0, 20, 30, 30]])
+    iou = nms.box_iou(a, b)
+    np.testing.assert_allclose(np.asarray(iou), [[25 / 175, 0.0]], rtol=1e-6)
+
+
+def test_nms_basic():
+    boxes = jnp.array([
+        [0.0, 0, 10, 10],     # score .9 keep
+        [1.0, 1, 11, 11],     # heavy overlap with 0 -> suppressed
+        [20.0, 20, 30, 30],   # keep
+        [21.0, 21, 31, 31],   # overlap with 2 -> suppressed
+        [50.0, 50, 60, 60],   # keep
+    ])
+    scores = jnp.array([0.9, 0.8, 0.7, 0.75, 0.1])
+    keep = nms.nms(boxes, scores, iou_threshold=0.5)
+    np.testing.assert_array_equal(np.asarray(keep),
+                                  [True, False, False, True, True])
+
+
+def test_nms_validity_and_order_independence():
+    boxes = jnp.array([[0.0, 0, 10, 10], [0.5, 0.5, 10.5, 10.5], [1.0, 1, 11, 11]])
+    scores = jnp.array([0.5, 0.9, 0.2])
+    valid = jnp.array([True, False, True])
+    keep = nms.nms(boxes, scores, 0.5, valid=valid)
+    # invalid box 1 neither kept nor suppressing: box 0 wins, suppresses 2
+    # (iou(0,2) = 81/119 = 0.68 > 0.5)
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, False])
+
+
+def test_batched_nms_categories():
+    boxes = jnp.array([[0.0, 0, 10, 10], [1.0, 1, 11, 11]])
+    scores = jnp.array([0.9, 0.8])
+    same = nms.batched_nms(boxes, scores, jnp.array([0, 0]), 0.5)
+    diff = nms.batched_nms(boxes, scores, jnp.array([0, 1]), 0.5)
+    np.testing.assert_array_equal(np.asarray(same), [True, False])
+    np.testing.assert_array_equal(np.asarray(diff), [True, True])
+
+
+def test_remove_small_regions():
+    m = np.zeros((20, 20), bool)
+    m[2:10, 2:10] = True
+    m[5, 5] = False                 # 1px hole
+    m[15, 15] = True                # 1px island
+    filled, mod = amg_utils.remove_small_regions(m, 4, "holes")
+    assert mod and filled[5, 5]
+    cleaned, mod2 = amg_utils.remove_small_regions(filled, 4, "islands")
+    assert mod2 and not cleaned[15, 15] and cleaned[3, 3]
+
+
+def test_crop_boxes_zero_layers():
+    boxes, layers = amg_utils.generate_crop_boxes((100, 150), 0, 0.34)
+    assert boxes == [[0, 0, 150, 100]] and layers == [0]

@@ -1,0 +1,99 @@
+import numpy as np
+import pytest
+
+from llmseg_tpu.ops import rle
+
+
+def _random_mask(h, w, seed, p=0.3):
+    rng = np.random.RandomState(seed)
+    # blobby mask: threshold smoothed noise
+    m = rng.rand(h, w) < p
+    return m.astype(np.uint8)
+
+
+@pytest.mark.parametrize("h,w,seed", [(1, 1, 0), (7, 5, 1), (64, 64, 2),
+                                      (100, 37, 3), (256, 256, 4)])
+def test_roundtrip(h, w, seed):
+    m = _random_mask(h, w, seed)
+    r = rle.encode(m)
+    assert r["size"] == [h, w]
+    assert isinstance(r["counts"], str)
+    m2 = rle.decode(r)
+    np.testing.assert_array_equal(m, m2)
+
+
+def test_empty_and_full():
+    z = np.zeros((16, 16), np.uint8)
+    f = np.ones((16, 16), np.uint8)
+    assert rle.area(rle.encode(z)) == 0
+    assert rle.area(rle.encode(f)) == 256
+    np.testing.assert_array_equal(rle.decode(rle.encode(z)), z)
+    np.testing.assert_array_equal(rle.decode(rle.encode(f)), f)
+
+
+def test_counts_string_roundtrip():
+    counts = [0, 5, 3, 100000, 2, 7, 1]
+    s = rle.counts_to_string(counts)
+    assert rle.string_to_counts(s) == counts
+
+
+def test_golden_string():
+    # Hand-derived golden value following the pycocotools rleToString
+    # algorithm: column-major runs [2,1,1,2,2,1,5,1,1], deltas for i>2 give
+    # [2,1,1,1,1,-1,3,0,-4]; 5-bit varint chars (+48): "21111O30L".
+    m = np.array([[0, 1, 1, 0],
+                  [0, 1, 0, 0],
+                  [1, 0, 0, 1],
+                  [0, 0, 0, 0]], np.uint8)
+    r = rle.encode(m)
+    assert rle.mask_to_counts(m) == [2, 1, 1, 2, 2, 1, 5, 1, 1]
+    assert r["counts"] == "21111O30L"
+    assert rle.area(r) == 5
+    np.testing.assert_array_equal(rle.decode(r), m)
+
+
+def test_column_major_semantics():
+    # one pixel at (row=2, col=0) in a 4x3 mask -> 2 zeros, 1 one, 9 zeros
+    m = np.zeros((4, 3), np.uint8)
+    m[2, 0] = 1
+    assert rle.mask_to_counts(m) == [2, 1, 9]
+
+
+def test_bbox_and_merge():
+    a = np.zeros((10, 10), np.uint8); a[2:5, 3:7] = 1
+    b = np.zeros((10, 10), np.uint8); b[6:9, 0:2] = 1
+    ra, rb = rle.encode(a), rle.encode(b)
+    np.testing.assert_array_equal(rle.to_bbox(ra), [3, 2, 4, 3])
+    merged = rle.decode(rle.merge([ra, rb]))
+    np.testing.assert_array_equal(merged, np.maximum(a, b))
+
+
+def test_native_matches_numpy():
+    from llmseg_tpu.native import loader
+    if not loader.available():
+        pytest.skip("native lib unavailable")
+    m = _random_mask(123, 77, 9)
+    # independent numpy reference for the run decomposition
+    flat = np.asarray(m, np.uint8).flatten(order="F")
+    change = np.nonzero(np.diff(flat))[0] + 1
+    idx = np.concatenate([[0], change, [flat.size]])
+    runs = np.diff(idx).tolist()
+    if flat[0] == 1:
+        runs = [0] + runs
+    assert loader.mask_to_counts(m) == runs
+    np.testing.assert_array_equal(
+        loader.counts_to_mask(np.asarray(runs, np.int64), 123, 77), m)
+
+
+def test_native_iou_iop():
+    from llmseg_tpu.native import loader
+    if not loader.available():
+        pytest.skip("native lib unavailable")
+    gt = _random_mask(50, 50, 10)
+    props = np.stack([_random_mask(50, 50, s) for s in range(3)])
+    iou, iop = loader.mask_iou_iop(gt, props)
+    for i in range(3):
+        inter = np.logical_and(gt, props[i]).sum()
+        union = np.logical_or(gt, props[i]).sum()
+        np.testing.assert_allclose(iou[i], inter / union, rtol=1e-6)
+        np.testing.assert_allclose(iop[i], inter / props[i].sum(), rtol=1e-6)
