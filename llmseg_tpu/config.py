@@ -135,6 +135,7 @@ class ViTConfig:
     use_swiglu: bool = False        # DINOv2-L uses plain MLP; giant uses swiglu
     layerscale: bool = False        # DINOv2 uses LayerScale
     use_quick_gelu: bool = True     # CLIP uses quickgelu; DINOv2 exact gelu
+    ln_eps: float = 1e-5            # CLIP 1e-5, DINOv2 1e-6
 
     @property
     def grid(self) -> int:
@@ -153,7 +154,7 @@ def clip_vit_l14() -> ViTConfig:
 def dinov2_vit_l14() -> ViTConfig:
     """dinov2_vitl14 @896 → 64x64 patch tokens (reference model/LISA.py:186-199)."""
     return ViTConfig(img_size=896, layernorm_pre=False, layerscale=True,
-                     use_quick_gelu=False)
+                     use_quick_gelu=False, ln_eps=1e-6)
 
 
 def vit_tiny(img_size: int = 28, patch_size: int = 14) -> ViTConfig:

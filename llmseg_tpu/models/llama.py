@@ -1,0 +1,169 @@
+"""LLaMA decoder, TPU-first.
+
+Replaces the reference's HF `LlamaModel` under `LlavaLlamaForCausalLM`
+(reference model/llava/model/language_model/llava_llama.py:39-163).  Causal
+attention runs on the Pallas flash kernel; matmuls stay bf16 on the MXU with
+fp32 softmax/norm statistics.  Accepts either token ids or pre-spliced input
+embeddings (the LLaVA path injects image features, see models/llava.py).
+
+LoRA (reference training.py:182-227: q_proj/v_proj, r=8, alpha=16) is an
+optional overlay pytree — base weights stay frozen, the overlay is the
+trainable leaf set, so the optimizer state is tiny and pjit shards only what
+trains.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llmseg_tpu.config import LlamaConfig, LoraConfig
+from llmseg_tpu.models import layers as L
+from llmseg_tpu.ops.attention import attention
+
+
+# ---------------------------------------------------------------------------
+# Init
+# ---------------------------------------------------------------------------
+
+
+def _layer_init(key, cfg: LlamaConfig, dtype) -> dict:
+    ks = jax.random.split(key, 7)
+    d = cfg.hidden_size
+    qd = cfg.num_heads * cfg.head_dim
+    kvd = cfg.num_kv_heads * cfg.head_dim
+    return {
+        "input_norm": L.rmsnorm_init(d, dtype),
+        "attn": {
+            "q": L.dense_init(ks[0], d, qd, bias=False, dtype=dtype),
+            "k": L.dense_init(ks[1], d, kvd, bias=False, dtype=dtype),
+            "v": L.dense_init(ks[2], d, kvd, bias=False, dtype=dtype),
+            "o": L.dense_init(ks[3], qd, d, bias=False, dtype=dtype),
+        },
+        "post_norm": L.rmsnorm_init(d, dtype),
+        "mlp": {
+            "gate": L.dense_init(ks[4], d, cfg.intermediate_size, bias=False,
+                                 dtype=dtype),
+            "up": L.dense_init(ks[5], d, cfg.intermediate_size, bias=False,
+                               dtype=dtype),
+            "down": L.dense_init(ks[6], cfg.intermediate_size, d, bias=False,
+                                 dtype=dtype),
+        },
+    }
+
+
+def init(key, cfg: LlamaConfig, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, cfg.num_layers + 3)
+    d = cfg.hidden_size
+    p = {
+        "embed_tokens": L._trunc_normal(keys[0], (cfg.vocab_size, d), 0.02,
+                                        dtype),
+        "layers": [_layer_init(keys[i + 1], cfg, dtype)
+                   for i in range(cfg.num_layers)],
+        "norm": L.rmsnorm_init(d, dtype),
+    }
+    if not cfg.tie_embeddings:
+        p["lm_head"] = L.dense_init(keys[-1], d, cfg.vocab_size, bias=False,
+                                    dtype=dtype)
+    return p
+
+
+def lora_init(key, cfg: LlamaConfig, lora: LoraConfig,
+              dtype=jnp.float32) -> dict:
+    """LoRA A/B for q/v projections of every layer; B starts at zero so the
+    overlay is an exact no-op at init (peft convention)."""
+    layers = []
+    for i in range(cfg.num_layers):
+        lk = jax.random.fold_in(key, i)
+        layer = {}
+        for name, out_dim in (("q", cfg.num_heads * cfg.head_dim),
+                              ("v", cfg.num_kv_heads * cfg.head_dim)):
+            if f"{name}_proj" not in lora.target_modules:
+                continue
+            ka = jax.random.fold_in(lk, hash(name) % (2 ** 31))
+            layer[name] = {
+                "a": (jax.random.normal(ka, (cfg.hidden_size, lora.rank),
+                                        jnp.float32)
+                      * (1.0 / cfg.hidden_size ** 0.5)).astype(dtype),
+                "b": jnp.zeros((lora.rank, out_dim), dtype),
+            }
+        layers.append(layer)
+    return {"layers": layers}
+
+
+def _dense_lora(p, lp, x, scaling: float):
+    y = L.dense(p, x)
+    if lp is not None:
+        y = y + ((x @ lp["a"]) @ lp["b"]) * scaling
+    return y
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
+                positions=None):
+    B, T, _ = x.shape
+    q = _dense_lora(p["q"], None if lp is None else lp.get("q"), x, scaling)
+    k = L.dense(p["k"], x)
+    v = _dense_lora(p["v"], None if lp is None else lp.get("v"), x, scaling)
+    q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
+    k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
+    q = L.apply_rope(q, cos, sin, positions)
+    k = L.apply_rope(k, cos, sin, positions)
+    if cfg.num_kv_heads != cfg.num_heads:
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+    o = attention(q, k, v, causal=True)
+    return L.dense(p["o"], o.reshape(B, T, -1))
+
+
+def _mlp_block(p, x):
+    return L.dense(p["mlp"]["down"],
+                   jax.nn.silu(L.dense(p["mlp"]["gate"], x))
+                   * L.dense(p["mlp"]["up"], x))
+
+
+def _layer(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float):
+    x = x + _attn_block(p["attn"], lp, L.rmsnorm(p["input_norm"], x,
+                                                 cfg.rms_norm_eps),
+                        cos, sin, cfg, scaling)
+    return x + _mlp_block(p, L.rmsnorm(p["post_norm"], x, cfg.rms_norm_eps))
+
+
+def apply(params: dict, cfg: LlamaConfig, *,
+          input_ids: Optional[jnp.ndarray] = None,
+          inputs_embeds: Optional[jnp.ndarray] = None,
+          lora: Optional[dict] = None,
+          lora_cfg: Optional[LoraConfig] = None,
+          remat: bool = False) -> jnp.ndarray:
+    """Returns final-norm hidden states (B, T, D) — matching the reference's
+    output_hidden_states[-1] (HF appends the post-norm state last)."""
+    if inputs_embeds is None:
+        inputs_embeds = params["embed_tokens"][input_ids]
+    x = inputs_embeds
+    T = x.shape[1]
+    cos, sin = L.rope_frequencies(cfg.head_dim, cfg.max_seq_len,
+                                  cfg.rope_theta)
+    scaling = 1.0 if lora_cfg is None else lora_cfg.alpha / lora_cfg.rank
+
+    layer_fn = _layer
+    if remat:
+        layer_fn = jax.checkpoint(_layer, static_argnums=(5, 6))
+    for i, lp in enumerate(params["layers"]):
+        llp = None if lora is None else lora["layers"][i]
+        x = layer_fn(lp, llp, x, cos[:T], sin[:T], cfg, scaling)
+    return L.rmsnorm(params["norm"], x, cfg.rms_norm_eps)
+
+
+def logits(params: dict, cfg: LlamaConfig, hidden: jnp.ndarray) -> jnp.ndarray:
+    """(B, T, D) -> (B, T, V) fp32 logits (fp32 accumulation on the MXU)."""
+    w = (params["embed_tokens"].T if cfg.tie_embeddings
+         else params["lm_head"]["w"])
+    return jnp.dot(hidden, w, preferred_element_type=jnp.float32)

@@ -1,0 +1,63 @@
+"""Optimizer: AdamW + WarmupDecayLR + grad clip, trainable-subset masked.
+
+Capability parity with the reference DeepSpeed config (training.py:296-332):
+AdamW (betas 0.9/0.95, wd 0), 100-step linear warmup then linear decay to 0
+over total steps, grad clip 1.0, grad accumulation.  The trainable set
+mirrors reference training.py:231-242: lm_head, embed_tokens,
+text_hidden_fcs (select/text_*), every lisa_* module (the whole selection
+head), and LoRA — all vision towers and base LLaMA weights frozen.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from llmseg_tpu.config import TrainConfig
+
+
+def trainable_mask(params: dict) -> dict:
+    """Bool pytree: True = trainable leaf."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (str(k),)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, path + (str(i),))
+                              for i, v in enumerate(node))
+        joined = "/".join(path)
+        if joined.startswith("select/") or joined.startswith("lora/"):
+            return True
+        if "llm/embed_tokens" in joined or "llm/lm_head" in joined:
+            return True
+        return False
+
+    return walk(params, ())
+
+
+def warmup_decay_schedule(cfg: TrainConfig) -> optax.Schedule:
+    """DeepSpeed WarmupDecayLR: linear 0->lr over warmup_steps, then linear
+    lr->0 over the remaining total steps."""
+    total = cfg.epochs * cfg.steps_per_epoch
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+         optax.linear_schedule(cfg.lr, 0.0, max(total - cfg.warmup_steps, 1))],
+        [cfg.warmup_steps])
+
+
+def make_optimizer(cfg: TrainConfig, params: dict) -> optax.GradientTransformation:
+    mask = trainable_mask(params)
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(warmup_decay_schedule(cfg), b1=cfg.beta1, b2=cfg.beta2,
+                    weight_decay=cfg.weight_decay),
+    )
+    tx = optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()},
+        jax.tree.map(lambda t: "train" if t else "freeze", mask))
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx

@@ -1,0 +1,44 @@
+"""The jitted train step: loss -> grads -> masked AdamW update.
+
+Data parallelism is implicit: params/opt-state are sharded by
+parallel.mesh rules, batches shard their leading axes over the data axes,
+and XLA GSPMD inserts the gradient reduce-scatter/all-reduce — the TPU
+equivalent of DeepSpeed ZeRO-2's backward hooks (reference
+training.py:546-547).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from llmseg_tpu.config import LLMSegConfig, LoraConfig, TrainConfig
+from llmseg_tpu.models import llmseg
+
+
+def make_train_step(cfg: LLMSegConfig, tx: optax.GradientTransformation,
+                    lora_cfg: Optional[LoraConfig] = None,
+                    remat: bool = True):
+    """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics)."""
+
+    def train_step(params, opt_state, batch):
+        (loss, aux), grads = jax.value_and_grad(
+            lambda p: llmseg.loss_fn(p, cfg, batch, lora_cfg=lora_cfg,
+                                     remat=remat), has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        return params, opt_state, {**aux, "grad_norm": gnorm}
+
+    return train_step
+
+
+def make_eval_step(cfg: LLMSegConfig,
+                   lora_cfg: Optional[LoraConfig] = None):
+    def eval_step(params, batch):
+        return llmseg.predict(params, cfg, batch, lora_cfg=lora_cfg)
+    return eval_step

@@ -1,0 +1,83 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from llmseg_tpu import config as C
+from llmseg_tpu.data.synthetic import make_batch
+from llmseg_tpu.models import llmseg
+
+
+def _setup(rows_per_image=2, num_images=2):
+    cfg = C.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, num_images=num_images,
+                       rows_per_image=rows_per_image, text_len=32)
+    return cfg, params, batch
+
+
+def test_forward_shapes():
+    cfg, params, batch = _setup()
+    out = llmseg.forward(params, cfg, batch)
+    R, K = 4, cfg.max_proposals
+    assert out["similarity"].shape == (R, K)
+    assert out["pred_iou"].shape == (R, K)
+    assert out["seg_features"].shape == (R, K, cfg.select.dim)
+    assert np.isfinite(np.asarray(out["similarity"])).all()
+    # invalid proposals forced to -1 similarity / 0 iou
+    sim = np.asarray(out["similarity"])
+    iou = np.asarray(out["pred_iou"])
+    pv = np.asarray(out["prop_valid"])
+    assert (sim[~pv] == -1).all() and (iou[~pv] == 0).all()
+    assert (iou[pv] >= 0).all() and (iou[pv] <= 1).all()
+
+
+def test_loss_and_grads():
+    cfg, params, batch = _setup()
+
+    def loss(params):
+        total, aux = llmseg.loss_fn(params, cfg, batch)
+        return total, aux
+
+    (total, aux), grads = jax.value_and_grad(loss, has_aux=True)(params)
+    assert np.isfinite(float(total))
+    for k in ("ce_loss", "align_loss", "regression_loss"):
+        assert np.isfinite(float(aux[k])), k
+    # trainable leaves get gradient signal
+    g_sel = grads["select"]["iou_head"]["layers"][0]["w"]
+    assert np.abs(np.asarray(g_sel)).max() > 0
+    g_text = grads["select"]["text_fc1"]["w"]
+    assert np.abs(np.asarray(g_text)).max() > 0
+    # frozen towers receive zero grads (stop_gradient)
+    g_dino = grads["dino"]["blocks"][0]["attn"]["q"]["w"]
+    np.testing.assert_allclose(np.asarray(g_dino), 0.0)
+    g_clip = grads["llava"]["vision_tower"]["blocks"][0]["attn"]["q"]["w"]
+    np.testing.assert_allclose(np.asarray(g_clip), 0.0)
+
+
+def test_predict():
+    cfg, params, batch = _setup(rows_per_image=1, num_images=1)
+    out = llmseg.predict(params, cfg, batch)
+    assert out["pred_similarity"].shape == (1, cfg.max_proposals)
+    assert np.asarray(out["row_valid"]).all()
+
+
+def test_seg_hidden_index():
+    cfg = C.llmseg_tiny()
+    ids = jnp.array([[5, 6, cfg.seg_token_id, 7],
+                     [5, 6, 7, 8]])
+    idx, has = llmseg.seg_hidden_index(ids, cfg)
+    n = cfg.llava.num_image_tokens
+    assert int(idx[0]) == 2 - 1 + n - 1
+    assert bool(has[0]) and not bool(has[1])
+
+
+def test_vqa_row_without_seg_is_masked():
+    cfg, params, batch = _setup(rows_per_image=2, num_images=1)
+    ids = np.asarray(batch["input_ids"]).copy()
+    ids[1][ids[1] == cfg.seg_token_id] = 5   # strip [SEG] from row 1
+    batch["input_ids"] = jnp.asarray(ids)
+    total, aux = llmseg.loss_fn(params, cfg, batch)
+    assert np.isfinite(float(total))
+    out = llmseg.forward(params, cfg, batch)
+    rv = np.asarray(out["row_valid"])
+    assert rv[0] and not rv[1]
