@@ -287,6 +287,18 @@ def llmseg_7b() -> LLMSegConfig:
     return LLMSegConfig()
 
 
+def llmseg_small() -> LLMSegConfig:
+    """Full architecture at ~1B-class LLM scale: every component real
+    (CLIP-L tower, DINOv2-L, 16-layer LLaMA), single-chip friendly."""
+    llm = LlamaConfig(hidden_size=2048, intermediate_size=5504,
+                      num_layers=16, num_heads=16, num_kv_heads=16,
+                      head_dim=128)
+    llava = LlavaConfig(llm=llm)
+    return LLMSegConfig(
+        llava=llava,
+        select=SelectionHeadConfig(llm_dim=llm.hidden_size))
+
+
 def llmseg_tiny() -> LLMSegConfig:
     llava = llava_tiny()
     dino = vit_tiny(img_size=56, patch_size=14)  # 4x4 grid
