@@ -189,9 +189,11 @@ def llama_7b() -> LlamaConfig:
 
 
 def llama_tiny(vocab_size: int = 256) -> LlamaConfig:
+    # max_seq_len 512: byte-level test tokenization needs ~200 tokens for the
+    # llava_v1 system prompt alone
     return LlamaConfig(vocab_size=vocab_size, hidden_size=64,
                        intermediate_size=128, num_layers=2, num_heads=4,
-                       num_kv_heads=4, head_dim=16, max_seq_len=160)
+                       num_kv_heads=4, head_dim=16, max_seq_len=512)
 
 
 @dataclass(frozen=True)
@@ -306,7 +308,7 @@ def llmseg_tiny() -> LLMSegConfig:
         llava=llava, dino=dino,
         select=selection_head_tiny(llm_dim=llava.llm.hidden_size,
                                    dino_dim=dino.hidden_size),
-        max_proposals=8, seg_grid=16, seg_token_id=200, max_seq_len=160)
+        max_proposals=8, seg_grid=16, seg_token_id=200, max_seq_len=512)
 
 
 # ---------------------------------------------------------------------------

@@ -149,6 +149,8 @@ def apply(params: dict, cfg: LlamaConfig, *,
         inputs_embeds = params["embed_tokens"][input_ids]
     x = inputs_embeds
     T = x.shape[1]
+    assert T <= cfg.max_seq_len, (
+        f"sequence length {T} > cfg.max_seq_len {cfg.max_seq_len}")
     cos, sin = L.rope_frequencies(cfg.head_dim, cfg.max_seq_len,
                                   cfg.rope_theta)
     scaling = 1.0 if lora_cfg is None else lora_cfg.alpha / lora_cfg.rank
