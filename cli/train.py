@@ -1,0 +1,95 @@
+"""Stage-1 training entry (capability parity with reference training.py):
+sem/refer/reason mixture, per-epoch ReasonSeg-val eval, best-gIoU checkpoint.
+
+Usage:
+  python -m cli.train --dataset_dir ... --sam_masks_dir ... \
+      --version <hf-llava-dir> --dinov2_ckpt <pth> --exp_name run1
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    from cli import common
+    from llmseg_tpu.train.loader import BatchLoader
+    from llmseg_tpu.train.trainer import Trainer
+
+    args = common.build_parser("train").parse_args(argv)
+    cfg = common.to_config(args)
+    lora_cfg = cfg.train.lora
+
+    tokenizer = common.build_tokenizer(args, cfg)
+    readers = {}
+    train_ds = common.build_train_dataset(args, cfg, readers)
+    val_ds = None if cfg.train.no_eval else common.build_val_dataset(
+        args, cfg, readers)
+
+    params = common.import_initial_params(args, cfg, lora_cfg)
+
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+
+        writer = SummaryWriter(cfg.train.log_dir)
+    except ImportError:
+        pass
+
+    trainer = Trainer(cfg, lora_cfg=lora_cfg, params=params, writer=writer)
+    if args.auto_resume:
+        trainer.maybe_resume()
+
+    import jax
+
+    train_collate = common.build_collate(args, cfg, tokenizer,
+                                         cfg.data.num_classes_per_sample)
+    val_collate = common.build_collate(args, cfg, tokenizer, 1)
+    micro_per_epoch = cfg.train.steps_per_epoch * cfg.train.grad_accum_steps
+    train_loader = BatchLoader(
+        train_ds, train_collate, cfg.train.batch_size, micro_per_epoch,
+        shuffle=False, process_index=jax.process_index(),
+        process_count=jax.process_count())
+
+    def val_batches():
+        loader = BatchLoader(val_ds, val_collate, 1, len(val_ds),
+                             process_index=jax.process_index(),
+                             process_count=jax.process_count())
+        for batch, extras in loader.epoch(0):
+            import jax.numpy as jnp
+
+            yield ({k: jnp.asarray(v) for k, v in batch.items()}, extras)
+
+    if args.eval_only:
+        vis = os.path.join(cfg.train.log_dir, "eval_vis") \
+            if args.visualize else None
+        res = trainer.validate(val_batches(), strategy=args.eval_strategy,
+                               threshold=args.eval_threshold,
+                               visualize_dir=vis)
+        print(f"giou: {res['giou']:.4f}, ciou: {res['ciou']:.4f}")
+        return res
+
+    start_epoch = trainer.global_step // cfg.train.steps_per_epoch
+    for epoch in range(start_epoch, cfg.train.epochs):
+        def micro_batches():
+            for batch, _ in train_loader.epoch(epoch):
+                yield batch
+
+        train_metrics = trainer.train_epoch(micro_batches(), epoch)
+        print(f"epoch {epoch}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in train_metrics.items()))
+        if val_ds is not None:
+            res = trainer.validate(val_batches(),
+                                   strategy=args.eval_strategy,
+                                   threshold=args.eval_threshold)
+            print(f"epoch {epoch}: giou={res['giou']:.4f} "
+                  f"ciou={res['ciou']:.4f}")
+            if trainer.save_best(res):
+                print(f"epoch {epoch}: new best {res['giou']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

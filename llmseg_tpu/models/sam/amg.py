@@ -34,11 +34,11 @@ from llmseg_tpu.ops import amg_utils, nms, rle
 
 
 def _candidate_filters(low_masks, iou_pred, amg: AMGConfig, cfg: SamConfig,
-                       valid_hw: Tuple[int, int]):
+                       valid_hw: jnp.ndarray):
     """Apply IoU + stability filters on low-res logits.
 
-    low_masks: (N, S, S) logits; iou_pred: (N,).  valid_hw: the unpadded
-    extent of the image inside the low-res grid.
+    low_masks: (N, S, S) logits; iou_pred: (N,).  valid_hw: (2,) dynamic —
+    the unpadded extent of the image inside the low-res grid.
     Returns (keep (N,), stability (N,))."""
     S = low_masks.shape[-1]
     row = jnp.arange(S)
@@ -56,14 +56,16 @@ def _candidate_filters(low_masks, iou_pred, amg: AMGConfig, cfg: SamConfig,
     return keep, stability, masked_logits
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "amg", "valid_hw",
-                                             "points_total"))
+@functools.partial(jax.jit, static_argnames=("cfg", "amg", "points_total"))
 def amg_select(params: dict, cfg: SamConfig, amg: AMGConfig,
                image_embedding: jnp.ndarray, points: jnp.ndarray,
-               valid_hw: Tuple[int, int], points_total: int) -> Dict:
+               valid_hw: jnp.ndarray, points_total: int) -> Dict:
     """Device program: grid prompts -> filtered, NMS'd top-K candidates.
 
-    image_embedding: (1, G, G, 256); points: (P, 2) in input-frame pixels.
+    image_embedding: (1, G, G, 256); points: (P, 2) in input-frame pixels;
+    valid_hw: (2,) i32 DYNAMIC image extent — one compiled program serves
+    every image size (the reference recompiles nothing because it is eager;
+    a static extent here would recompile per unique (h, w)).
     Returns dict of fixed-shape arrays (K = amg.max_masks):
       masks_low (K, S, S) logits, iou (K,), stability (K,), boxes (K, 4)
       input-frame xyxy, points (K, 2), valid (K,).
@@ -91,8 +93,7 @@ def amg_select(params: dict, cfg: SamConfig, amg: AMGConfig,
     point_per_mask = jnp.repeat(pts.reshape(-1, 2), 3, axis=0)
 
     real = (jnp.arange(M) // 3) < P                    # drop padded points
-    lowres_hw = (max(1, valid_hw[0] * S4 // cfg.encoder.img_size),
-                 max(1, valid_hw[1] * S4 // cfg.encoder.img_size))
+    lowres_hw = jnp.maximum(valid_hw * S4 // cfg.encoder.img_size, 1)
     keep, stability, masked_logits = _candidate_filters(
         masks, iou_pred, amg, cfg, lowres_hw)
     keep &= real
@@ -148,22 +149,35 @@ class AutomaticMaskGenerator:
         Returns reference-schema annotation dicts sorted by area desc.
         """
         h, w = image.shape[:2]
-        x = jnp.asarray(image)[None]
-        emb = sam_lib.encode_image(self.params, sam_lib.preprocess(x, self.cfg),
-                                   self.cfg)
+        assert max(h, w) <= self.cfg.encoder.img_size, (
+            f"image {h}x{w} exceeds SAM input {self.cfg.encoder.img_size}; "
+            "resize longest side first (cli/prepare.py does this)")
+        # pad to the square input on host so encode compiles once per size
+        s_in = self.cfg.encoder.img_size
+        padded = np.zeros((s_in, s_in, 3), image.dtype)
+        padded[:h, :w] = image
+        # preprocess normalizes and the pad region is zeroed AFTER normalize
+        # in the reference; replicate by re-zeroing outside the valid extent
+        x = sam_lib.preprocess(jnp.asarray(padded)[None], self.cfg)
+        region = np.zeros((1, s_in, s_in, 1), np.float32)
+        region[:, :h, :w] = 1.0
+        x = x * jnp.asarray(region)
+        emb = sam_lib.encode_image(self.params, x, self.cfg)
         points = jnp.asarray(self._grid * np.array([w, h]), jnp.float32)
         out = amg_select(self.params, self.cfg, self.amg, emb, points,
-                         (h, w), points.shape[0])
+                         jnp.asarray([h, w], jnp.int32), points.shape[0])
         valid = np.asarray(out["valid"])
         n = int(valid.sum())
         if n == 0:
             return []
         # bucket the survivor count to powers of two so upscale_binary
-        # compiles a handful of shapes, not one per image
+        # compiles a handful of shapes, not one per image; upscale to the
+        # full square input and crop on host (static output shape)
         n_buck = min(max(8, 1 << (n - 1).bit_length()), self.amg.max_masks)
-        masks = upscale_binary(out["masks_low"][:n_buck], (h, w),
+        s_in = self.cfg.encoder.img_size
+        masks = upscale_binary(out["masks_low"][:n_buck], (s_in, s_in),
                                self.cfg.mask_threshold)
-        masks = np.asarray(masks)[:n]
+        masks = np.asarray(masks)[:n, :h, :w]
         iou = np.asarray(out["iou"])[:n]
         stability = np.asarray(out["stability"])[:n]
         boxes = np.asarray(out["boxes"])[:n]

@@ -188,6 +188,7 @@ def init(key, cfg: SamEncoderConfig, dtype=jnp.float32) -> dict:
 def apply(p: dict, x: jnp.ndarray, cfg: SamEncoderConfig,
           remat: bool = False) -> jnp.ndarray:
     """x: (B, img, img, 3) preprocessed -> (B, grid, grid, out_chans)."""
+    x = x.astype(p["patch_embed"]["w"].dtype)
     x = L.patch_embed(p["patch_embed"], x, cfg.patch_size)
     x = x + p["pos_embed"]
 

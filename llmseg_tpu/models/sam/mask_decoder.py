@@ -24,6 +24,7 @@ def _convt_init(key, in_ch, out_ch, kernel, dtype=jnp.float32):
 
 def _convt(p, x, stride):
     """Transposed conv, NHWC."""
+    x = x.astype(p["w"].dtype)
     y = jax.lax.conv_transpose(
         x, p["w"], strides=(stride, stride), padding="VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))

@@ -70,6 +70,7 @@ def dense_pe(p: dict, size: int) -> jnp.ndarray:
 def _embed_masks(p: dict, masks: jnp.ndarray) -> jnp.ndarray:
     """masks: (B, 4*S, 4*S, 1) -> (B, S, S, D)."""
     m = p["mask_downscale"]
+    masks = masks.astype(m["conv1"]["w"].dtype)
     x = L.conv2d(m["conv1"], masks, stride=2, padding="VALID")
     x = jax.nn.gelu(L.layernorm2d(m["ln1"], x))
     x = L.conv2d(m["conv2"], x, stride=2, padding="VALID")

@@ -122,7 +122,9 @@ def apply(p: dict, image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
         key_pe = image_pe.reshape(1, Hs * Ws, C)
     else:                                        # (1 or B, S, S, C)
         key_pe = image_pe.reshape(image_pe.shape[0], Hs * Ws, C)
-    queries = point_embedding
+    key_pe = key_pe.astype(keys.dtype)
+    queries = point_embedding.astype(keys.dtype)
+    point_embedding = queries
 
     for i, lp in enumerate(p["layers"]):
         queries, keys = block_apply(lp, queries, keys, point_embedding,

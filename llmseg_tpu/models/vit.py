@@ -92,6 +92,7 @@ def init(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
 def embed(p: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     """(B, H, W, 3) -> (B, 1+N, D) tokens with CLS + positions."""
     B = x.shape[0]
+    x = x.astype(p["patch_embed"]["w"].dtype)
     tok = L.patch_embed(p["patch_embed"], x, cfg.patch_size)
     tok = tok.reshape(B, -1, cfg.hidden_size)
     if cfg.use_class_embedding:

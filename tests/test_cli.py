@@ -1,0 +1,84 @@
+"""CLI smoke tests: arg parsing -> config, and the prepare pipeline
+end-to-end with a tiny SAM over synthetic images."""
+
+import json
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def test_parser_to_config():
+    from cli import common
+
+    args = common.build_parser("t").parse_args(
+        ["--lr", "2e-4", "--sample_rates", "2,1", "--dataset",
+         "sem_seg||reason_seg", "--model_size", "tiny", "--mesh_tp", "2"])
+    cfg = common.to_config(args)
+    assert cfg.train.lr == 2e-4
+    assert cfg.data.sample_rates == (2.0, 1.0)
+    assert cfg.train.mesh.tensor == 2
+    assert cfg.model.max_proposals == 8  # tiny preset
+
+
+def test_prepare_cli_end_to_end(tmp_path, monkeypatch):
+    import cv2
+
+    from cli import prepare as prepare_cli
+    from llmseg_tpu import config as C
+    from llmseg_tpu.data.mask_reader import SamMaskReader
+    from llmseg_tpu.models.sam import sam as sam_lib
+
+    rng = np.random.RandomState(0)
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    for i in range(2):
+        cv2.imwrite(str(img_dir / f"im{i}.jpg"),
+                    rng.randint(0, 255, (48, 64, 3), np.uint8))
+
+    # monkeypatch the registry to the tiny config + permissive AMG so random
+    # weights still produce proposals
+    monkeypatch.setitem(sam_lib.MODEL_REGISTRY, "vit_h", C.sam_tiny)
+    orig_amg = C.AMGConfig
+
+    def loose_amg(**kw):
+        kw.update(pred_iou_thresh=-1e9, stability_score_thresh=-1.0,
+                  max_masks=16)
+        return orig_amg(**kw)
+
+    monkeypatch.setattr(prepare_cli.C, "AMGConfig", loose_amg)
+
+    out = tmp_path / "masks.json"
+    h5 = tmp_path / "masks.h5"
+    prepare_cli.main(["--image_dir", str(img_dir), "--output", str(out),
+                      "--points_per_side", "4", "--points_per_batch", "8",
+                      "--hdf5", str(h5)])
+    doc = json.loads(out.read_text())
+    assert len(doc) == 2
+    assert doc[0]["target_size"] == [48, 64]
+
+    # readable by the training-side reader when proposals survived
+    if doc[0]["masks"]:
+        reader = SamMaskReader(str(out), verbose=False)
+        segs = reader.extract_sam_segs(doc[0]["image"])
+        assert segs["segs_origin"].shape[:2] == (48, 64)
+
+    # h5 -> json converter reproduces the record
+    from cli.convert_h5 import convert
+
+    out2 = tmp_path / "masks2.json"
+    n = convert(str(h5), str(out2))
+    assert n == 2
+    doc2 = json.loads(out2.read_text())
+    assert {d["image"] for d in doc2} == {d["image"] for d in doc}
+
+
+def test_sharding_args(tmp_path, monkeypatch):
+    from cli import prepare as prepare_cli
+
+    # shard selection is pure list slicing; verify round-robin semantics
+    files = [f"f{i}" for i in range(10)]
+    assert files[1::4] == ["f1", "f5", "f9"]
