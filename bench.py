@@ -45,25 +45,29 @@ def run(config_name: str):
     batch = make_batch(cfg, num_images=1, rows_per_image=1,
                        text_len=512, dtype=dtype)
 
-    # reduce to one scalar on device; per-iteration float() forces a real
-    # host sync (block_until_ready does not reliably block through the
-    # remote-device tunnel, which yielded bogus 0.7ms timings)
+    # Timing through the remote-device tunnel: block_until_ready does not
+    # block (measured 0.7ms for a 7B forward) and a per-call host sync costs
+    # ~30-90ms.  Instead: enqueue ITERS async calls, then transfer each
+    # scalar at the end — executions overlap the earlier transfers, so
+    # total/ITERS converges to pure device time.  (An in-graph fori_loop was
+    # tried first but made XLA materialize transposed copies of the LLM
+    # weights outside the loop -> OOM at 7B.)
+    ITERS = 8
     fn = jax.jit(
         lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"].sum())
     t0 = time.perf_counter()
     val = float(fn(params, batch))
     log(f"bench: compile+first step {time.perf_counter() - t0:.1f}s "
         f"(val={val:.4f})")
-
-    for _ in range(2):
-        float(fn(params, batch))
-
-    iters = 5
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        float(fn(params, batch))
-    dt = (time.perf_counter() - t0) / iters
-    log(f"bench: {dt * 1e3:.1f} ms/image")
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        outs = [fn(params, batch) for _ in range(ITERS)]
+        for o in outs:
+            float(o)
+        ts.append(time.perf_counter() - t0)
+    dt = min(ts) / ITERS
+    log(f"bench: {dt * 1e3:.1f} ms/image ({min(ts):.3f}s per {ITERS} images)")
     return 1.0 / dt
 
 

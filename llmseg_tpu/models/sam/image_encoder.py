@@ -82,7 +82,11 @@ def attn_init(key, dim: int, num_heads: int, use_rel_pos: bool,
 
 def attn_apply(p: dict, x: jnp.ndarray, num_heads: int,
                use_rel_pos: bool) -> jnp.ndarray:
-    """x: (B, H, W, C) -> (B, H, W, C); H == W (windows or full grid)."""
+    """x: (B, H, W, C) -> (B, H, W, C); H == W (windows or full grid).
+
+    Large square grids (global-attention layers, 64x64 tokens at ViT-H) take
+    the fused rel-pos Pallas kernel; small windows (14x14) take the XLA path
+    with the bias materialized (cheap at that size)."""
     B, Hs, Ws, C = x.shape
     T = Hs * Ws
     head_dim = C // num_heads
@@ -90,14 +94,23 @@ def attn_apply(p: dict, x: jnp.ndarray, num_heads: int,
     qkv = qkv.reshape(B, T, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, T, nH, D)
 
-    bias = None
-    if use_rel_pos:
-        qh = q.transpose(0, 2, 1, 3)                        # (B, nH, T, D)
-        # reference applies rel-pos from the UNSCALED q (image_encoder.py:233-239)
-        bias = decomposed_rel_pos_bias(qh, p["rel_pos_h"], p["rel_pos_w"], Hs)
+    if (use_rel_pos and Hs == Ws and T >= 1024 and Hs % 8 == 0
+            and jax.default_backend() == "tpu"):
+        from llmseg_tpu.ops.relpos_attention import relpos_flash_attention
 
-    from llmseg_tpu.ops.attention import attention_xla
-    out = attention_xla(q, k, v, bias=bias)                 # (B, T, nH, D)
+        out = relpos_flash_attention(q, k, v, p["rel_pos_h"], p["rel_pos_w"],
+                                     Hs)
+    else:
+        bias = None
+        if use_rel_pos:
+            qh = q.transpose(0, 2, 1, 3)                    # (B, nH, T, D)
+            # reference applies rel-pos from the UNSCALED q
+            # (image_encoder.py:233-239)
+            bias = decomposed_rel_pos_bias(qh, p["rel_pos_h"],
+                                           p["rel_pos_w"], Hs)
+        from llmseg_tpu.ops.attention import attention_xla
+
+        out = attention_xla(q, k, v, bias=bias)             # (B, T, nH, D)
     out = out.reshape(B, Hs, Ws, C)
     return L.dense(p["proj"], out)
 

@@ -1,0 +1,128 @@
+"""Flash attention with SAM's decomposed relative-position bias fused in.
+
+The reference adds a (B*H, T, S) bias materialized from two einsums
+(model/segment_anything/modeling/image_encoder.py:360-392) — at ViT-H's
+global layers that is a 537MB fp32 tensor per layer feeding a slow unfused
+attention.  Here the bias never exists: the kernel reconstructs it blockwise
+from two tiny per-row tables
+
+    rh[(h, w), h'] = q[(h, w)] . Rh[h, h']      (T, G) where T = G*G
+    rw[(h, w), w'] = q[(h, w)] . Rw[w, w']      (T, G)
+
+computed outside with two small einsums (~1MB each), using
+    bias[(h, w), (h', w')] = rh[(h, w), h'] + rw[(h, w), w'].
+
+The key loop walks one token-grid row (G columns) per step, so the block
+bias is simply  rh[:, kj:kj+1] + rw  — pure VPU broadcasting.
+
+Forward only: SAM is frozen in every LLM-Seg workload (offline AMG and the
+legacy pixel decoder both run inference-only).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llmseg_tpu.ops.attention import NEG_INF, _interpret, _prec, _round_up
+
+
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
+            block_q, grid_g):
+    q = q_ref[0]                                           # (Bq, D)
+    rh = rh_ref[0].astype(jnp.float32)                     # (Bq, G)
+    rw = rw_ref[0].astype(jnp.float32)                     # (Bq, G)
+    m_i = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l_i = jnp.zeros((block_q, 1), jnp.float32)
+    acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
+
+    def body(kj, carry):
+        m_i, l_i, acc = carry
+        kblk = k_ref[0, pl.ds(kj * grid_g, grid_g), :]
+        vblk = v_ref[0, pl.ds(kj * grid_g, grid_g), :]
+        s = jax.lax.dot_general(
+            q, kblk, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q)) * scale                    # (Bq, G)
+        # bias for key row h'=kj: rh[:, kj] broadcast + rw over w'
+        rh_col = jax.lax.dynamic_slice_in_dim(rh, kj, 1, axis=1)
+        s = s + rh_col + rw
+        m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_i - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_new = acc * alpha + jax.lax.dot(
+            p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32,
+            precision=_prec(vblk))
+        return m_new, l_new, acc_new
+
+    m_i, l_i, acc = jax.lax.fori_loop(0, grid_g, body, (m_i, l_i, acc))
+    l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
+    o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
+
+
+def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
+                           scale=None, block_q: int = 512):
+    """q/k/v: (B, T, H, D) with T == grid_g^2 (square token grid);
+    rel_pos_h/rel_pos_w: (2*G-1, D) tables.  Returns (B, T, H, D)."""
+    from llmseg_tpu.models.sam.image_encoder import _rel_pos_table
+
+    B, T, H, D = q.shape
+    G = grid_g
+    assert T == G * G, (T, G)
+    scale = (1.0 / math.sqrt(D)) if scale is None else scale
+
+    # per-row tables (tiny einsums; bias uses the UNSCALED q, reference
+    # image_encoder.py:233-239)
+    Rh = _rel_pos_table(rel_pos_h, G, G)                   # (G, G, D)
+    Rw = _rel_pos_table(rel_pos_w, G, G)
+    qg = q.reshape(B, G, G, H, D)
+    rh = jnp.einsum("bhwnd,hkd->bnhwk", qg, Rh.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
+    rw = jnp.einsum("bhwnd,wkd->bnhwk", qg, Rw.astype(q.dtype),
+                    preferred_element_type=jnp.float32)
+    rh = rh.reshape(B * H, T, G)
+    rw = rw.reshape(B * H, T, G)
+
+    block_q = min(block_q, T)
+    assert T % block_q == 0, (T, block_q)
+    Dp = _round_up(D, 128)
+
+    def _prep(x):
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+        return x.transpose(0, 2, 1, 3).reshape(B * H, T, Dp)
+
+    qf, kf, vf = _prep(q), _prep(k), _prep(v)
+
+    kern = functools.partial(_kernel, scale=scale, block_q=block_q, grid_g=G)
+    o = pl.pallas_call(
+        kern,
+        grid=(B * H, T // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, Dp), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, Dp), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, Dp), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, G), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_q, G), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, Dp), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * H, T, Dp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * T * T * D,
+            bytes_accessed=2 * B * H * 3 * T * D * q.dtype.itemsize,
+            transcendentals=B * H * T * T),
+        interpret=_interpret(),
+    )(qf, kf, vf, rh, rw)
+    o = o.reshape(B, H, T, Dp).transpose(0, 2, 1, 3)
+    return o[..., :D]

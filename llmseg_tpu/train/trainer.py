@@ -70,7 +70,12 @@ class Trainer:
 
     # -- loops --------------------------------------------------------------
 
-    def train_epoch(self, batches: Iterable, epoch: int):
+    def train_epoch(self, batches: Iterable, epoch: int,
+                    profile_steps: int = 0):
+        """profile_steps > 0: capture a jax.profiler trace of that many
+        leading micro-steps into <log_dir>/profile (SURVEY §5 tracing)."""
+        from llmseg_tpu.utils.profiling import trace
+
         tcfg = self.cfg.train
         meters = {name: AverageMeter(name, ":.4f") for name in
                   ("loss", "ce_loss", "align_loss", "regression_loss")}
@@ -83,16 +88,24 @@ class Trainer:
 
         micro = 0
         end = time.time()
+        profiler = None
         with self.mesh:
             for host_batch in batches:
                 if isinstance(host_batch, tuple):
                     host_batch = host_batch[0]
                 data_time.update(time.time() - end)
+                if profile_steps and micro == 0:
+                    profiler = trace(os.path.join(self.log_dir, "profile"))
+                    profiler.__enter__()
                 batch = M.shard_batch(
                     {k: jnp.asarray(v) for k, v in host_batch.items()},
                     self.mesh)
                 self.params, self.opt_state, metrics = self.train_step(
                     self.params, self.opt_state, batch)
+                if profiler is not None and micro + 1 == profile_steps:
+                    jax.block_until_ready(metrics)
+                    profiler.__exit__(None, None, None)
+                    profiler = None
                 micro += 1
                 if micro % tcfg.grad_accum_steps == 0:
                     self.global_step += 1
@@ -111,6 +124,8 @@ class Trainer:
                                 "metrics/total_secs_per_batch",
                                 batch_time.avg, self.global_step)
                 end = time.time()
+            if profiler is not None:     # epoch shorter than profile_steps
+                profiler.__exit__(None, None, None)
         return {name: m.avg for name, m in meters.items()}
 
     def validate(self, batches: Iterable, strategy: str = "threshold",
