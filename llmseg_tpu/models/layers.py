@@ -56,6 +56,10 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    if "w_q" in p:                     # int8 weight-only quantized leaf
+        from llmseg_tpu.ops.quant import qdense
+
+        return qdense(p, x)
     y = x @ p["w"]
     if "b" in p:
         y = y + p["b"]

@@ -49,8 +49,12 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
             q, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_prec(q)) * scale                    # (Bq, G)
-        # bias for key row h'=kj: rh[:, kj] broadcast + rw over w'
-        rh_col = jax.lax.dynamic_slice_in_dim(rh, kj, 1, axis=1)
+        # bias for key row h'=kj: rh[:, kj] broadcast + rw over w'.
+        # (Mosaic cannot dynamic-slice the lane dim of a value, so select
+        # the column with a one-hot masked reduction instead.)
+        col_ids = jax.lax.broadcasted_iota(jnp.int32, rh.shape, 1)
+        rh_col = jnp.sum(jnp.where(col_ids == kj, rh, 0.0), axis=1,
+                         keepdims=True)
         s = s + rh_col + rw
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)

@@ -82,3 +82,16 @@ def test_remove_small_regions():
 def test_crop_boxes_zero_layers():
     boxes, layers = amg_utils.generate_crop_boxes((100, 150), 0, 0.34)
     assert boxes == [[0, 0, 150, 100]] and layers == [0]
+
+
+def test_nms_suppression_chain_revival():
+    # A suppresses B, B suppresses C, A does not suppress C:
+    # greedy keeps A and C (C is revived because B is gone)
+    boxes = jnp.array([
+        [0.0, 0, 10, 10],      # A
+        [6.0, 0, 16, 10],      # B: iou(A,B)=4/16=.25 -> with t=.2 suppressed
+        [12.0, 0, 22, 10],     # C: iou(B,C)=.25, iou(A,C)=0
+    ])
+    scores = jnp.array([0.9, 0.8, 0.7])
+    keep = nms.nms(boxes, scores, iou_threshold=0.2)
+    np.testing.assert_array_equal(np.asarray(keep), [True, False, True])

@@ -82,3 +82,14 @@ def test_sharding_args(tmp_path, monkeypatch):
     # shard selection is pure list slicing; verify round-robin semantics
     files = [f"f{i}" for i in range(10)]
     assert files[1::4] == ["f1", "f5", "f9"]
+
+
+def test_apply_overrides():
+    from llmseg_tpu import config as C
+
+    cfg = C.ExperimentConfig()
+    cfg2 = C.apply_overrides(cfg, {"train.lr": 5e-5,
+                                   "model.max_proposals": 32})
+    assert cfg2.train.lr == 5e-5
+    assert cfg2.model.max_proposals == 32
+    assert cfg.train.lr == 1e-4  # original untouched (frozen dataclasses)
