@@ -123,13 +123,27 @@ def amg_select(params: dict, cfg: SamConfig, amg: AMGConfig,
 @functools.partial(jax.jit, static_argnames=("out_hw", "threshold"))
 def upscale_binary(masks_low: jnp.ndarray, out_hw: Tuple[int, int],
                    threshold: float = 0.0) -> jnp.ndarray:
-    """(K, S, S) logits -> (K, H, W) uint8 at the input-frame resolution
-    (reference postprocess path, sam.py:137-172, minus the original-size
-    resize: masks.json stores masks at the preprocessed resolution)."""
+    """(K, S, S) logits -> (K, H, W//8) BIT-PACKED masks at the input-frame
+    resolution (reference postprocess path, sam.py:137-172, minus the
+    original-size resize: masks.json stores masks at the preprocessed
+    resolution).  Packing on device cuts the host transfer 8x — the
+    dominant cost when the host link is thin."""
     K = masks_low.shape[0]
     m = jax.image.resize(masks_low.astype(jnp.float32)[..., None],
                          (K, out_hw[0], out_hw[1], 1), method="bilinear")
-    return (m[..., 0] > threshold).astype(jnp.uint8)
+    bits = (m[..., 0] > threshold).astype(jnp.uint8)
+    bits = bits.reshape(K, out_hw[0], out_hw[1] // 8, 8)
+    weights = (2 ** jnp.arange(7, -1, -1)).astype(jnp.uint8)  # big-endian
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _prep_encode(params: dict, cfg: SamConfig, padded: jnp.ndarray,
+                 region: jnp.ndarray) -> jnp.ndarray:
+    """normalize + re-zero pad region + encoder, as ONE device program
+    (eager host-side jnp ops each cost a full roundtrip on remote devices)."""
+    x = sam_lib.preprocess(padded, cfg) * region
+    return sam_lib.encode_image(params, x, cfg)
 
 
 class AutomaticMaskGenerator:
@@ -156,32 +170,37 @@ class AutomaticMaskGenerator:
         s_in = self.cfg.encoder.img_size
         padded = np.zeros((s_in, s_in, 3), image.dtype)
         padded[:h, :w] = image
-        # preprocess normalizes and the pad region is zeroed AFTER normalize
-        # in the reference; replicate by re-zeroing outside the valid extent
-        x = sam_lib.preprocess(jnp.asarray(padded)[None], self.cfg)
+        # the reference normalizes then pads with zeros; replicate by
+        # re-zeroing outside the valid extent after normalization
         region = np.zeros((1, s_in, s_in, 1), np.float32)
         region[:, :h, :w] = 1.0
-        x = x * jnp.asarray(region)
-        emb = sam_lib.encode_image(self.params, x, self.cfg)
+        emb = _prep_encode(self.params, self.cfg, jnp.asarray(padded)[None],
+                           jnp.asarray(region))
         points = jnp.asarray(self._grid * np.array([w, h]), jnp.float32)
         out = amg_select(self.params, self.cfg, self.amg, emb, points,
                          jnp.asarray([h, w], jnp.int32), points.shape[0])
-        valid = np.asarray(out["valid"])
+        # ONE host transfer for all the small outputs
+        small = jax.device_get({k: out[k] for k in
+                                ("valid", "iou", "stability", "boxes",
+                                 "points")})
+        valid = small["valid"]
         n = int(valid.sum())
         if n == 0:
             return []
         # bucket the survivor count to powers of two so upscale_binary
         # compiles a handful of shapes, not one per image; upscale to the
-        # full square input and crop on host (static output shape)
+        # full square input, download BIT-PACKED, crop on host
         n_buck = min(max(8, 1 << (n - 1).bit_length()), self.amg.max_masks)
-        s_in = self.cfg.encoder.img_size
-        masks = upscale_binary(out["masks_low"][:n_buck], (s_in, s_in),
-                               self.cfg.mask_threshold)
-        masks = np.asarray(masks)[:n, :h, :w]
-        iou = np.asarray(out["iou"])[:n]
-        stability = np.asarray(out["stability"])[:n]
-        boxes = np.asarray(out["boxes"])[:n]
-        pts = np.asarray(out["points"])[:n]
+        packed = jax.device_get(
+            upscale_binary(out["masks_low"][:n_buck], (s_in, s_in),
+                           self.cfg.mask_threshold))
+        masks = np.unpackbits(packed[:n], axis=-1,
+                              count=s_in).reshape(n, s_in, s_in)
+        masks = masks[:, :h, :w]
+        iou = small["iou"][:n]
+        stability = small["stability"][:n]
+        boxes = small["boxes"][:n]
+        pts = small["points"][:n]
 
         anns = []
         for i in range(n):

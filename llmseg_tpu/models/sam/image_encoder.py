@@ -94,8 +94,11 @@ def attn_apply(p: dict, x: jnp.ndarray, num_heads: int,
     qkv = qkv.reshape(B, T, 3, num_heads, head_dim)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]     # (B, T, nH, D)
 
-    if (use_rel_pos and Hs == Ws and T >= 1024 and Hs % 8 == 0
-            and jax.default_backend() == "tpu"):
+    on_tpu = jax.default_backend() == "tpu"
+    if use_rel_pos and Hs == Ws and on_tpu:
+        # fused kernel for ANY square grid (64x64 global layers AND 14x14
+        # windows): the rel-pos bias is reconstructed blockwise inside the
+        # kernel and never materialized
         from llmseg_tpu.ops.relpos_attention import relpos_flash_attention
 
         out = relpos_flash_attention(q, k, v, p["rel_pos_h"], p["rel_pos_w"],

@@ -84,8 +84,14 @@ def attention_xla(q, k, v, *, bias=None, causal=False, scale=None):
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, causal, scale,
-                block_q, block_k, s_real, num_k_blocks):
+def _fwd_kernel(q_ref, k_ref, v_ref, *refs, causal, scale,
+                block_q, block_k, s_real, num_k_blocks, has_bias=False):
+    if has_bias:
+        bias_ref, o_ref = refs[0], refs[1]
+        lse_ref = refs[2] if len(refs) > 2 else None
+    else:
+        bias_ref, o_ref = None, refs[0]
+        lse_ref = refs[1] if len(refs) > 1 else None
     qi = pl.program_id(1)
     q = q_ref[0]                                          # (Bq, D) native dtype
     m = jnp.full((block_q, 1), NEG_INF, jnp.float32)
@@ -109,6 +115,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, causal, scale,
             q, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_prec(q)) * scale                    # (Bq, Bk) fp32
+        if has_bias:
+            s = s + bias_ref[0, :, pl.ds(kj * block_k, block_k)].astype(
+                jnp.float32)
         col_ids = kj * block_k + jax.lax.broadcasted_iota(
             jnp.int32, (block_q, block_k), 1)
         mask = col_ids < s_real
@@ -132,16 +141,18 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref=None, *, causal, scale,
 
 
 def _flash_fwd(q, k, v, *, causal, scale, block_q, block_k, s_real,
-               with_lse=True):
-    """q: (BH, T, D) padded; k, v: (BH, S, D) padded.  with_lse=False for
-    pure inference: the log-sum-exp output (needed only by the backward
-    pass) is skipped, saving its HBM allocation."""
+               with_lse=True, bias=None):
+    """q: (BH, T, D) padded; k, v: (BH, S, D) padded; bias optional
+    (BH or 1, T, S) additive logits bias.  with_lse=False for pure
+    inference: the log-sum-exp output (needed only by the backward pass)
+    is skipped, saving its HBM allocation."""
     BH, T, D = q.shape
     S = k.shape[1]
     nq, nk = T // block_q, S // block_k
     kern = functools.partial(
         _fwd_kernel, causal=causal, scale=scale, block_q=block_q,
-        block_k=block_k, s_real=s_real, num_k_blocks=nk)
+        block_k=block_k, s_real=s_real, num_k_blocks=nk,
+        has_bias=bias is not None)
     in_specs = [
         pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
                      memory_space=pltpu.VMEM),
@@ -150,6 +161,15 @@ def _flash_fwd(q, k, v, *, causal, scale, block_q, block_k, s_real,
         pl.BlockSpec((1, S, D), lambda bh, qi: (bh, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
+    inputs = (q, k, v)
+    if bias is not None:
+        bb = bias.shape[0]
+        in_specs.append(
+            pl.BlockSpec((1, block_q, S),
+                         (lambda bh, qi: (bh, qi, 0)) if bb == BH
+                         else (lambda bh, qi: (0, qi, 0)),
+                         memory_space=pltpu.VMEM))
+        inputs = (q, k, v, bias)
     o_spec = pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
                           memory_space=pltpu.VMEM)
     o_shape = jax.ShapeDtypeStruct((BH, T, D), q.dtype)
@@ -161,7 +181,7 @@ def _flash_fwd(q, k, v, *, causal, scale, block_q, block_k, s_real,
         o = pl.pallas_call(
             kern, grid=(BH, nq), in_specs=in_specs, out_specs=o_spec,
             out_shape=o_shape, cost_estimate=cost,
-            interpret=_interpret())(q, k, v)
+            interpret=_interpret())(*inputs)
         return o, None
     o, lse = pl.pallas_call(
         kern,
@@ -178,7 +198,7 @@ def _flash_fwd(q, k, v, *, causal, scale, block_q, block_k, s_real,
         ],
         cost_estimate=cost,
         interpret=_interpret(),
-    )(q, k, v)
+    )(*inputs)
     return o, lse
 
 
@@ -399,6 +419,33 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
 
     qf, kf, vf = _prep(q, T, Tp), _prep(k, S, Sp), _prep(v, S, Sp)
     o = _flash_attention(qf, kf, vf, causal, scale, block_q, block_k, S)
+    o = o.reshape(B, H, Tp, Dp).transpose(0, 2, 1, 3)
+    return o[:, :T, :, :D]
+
+
+def flash_attention_bias(q, k, v, bias, *, scale=None,
+                         block_q=512, block_k=512):
+    """Inference-only flash attention with a precomputed additive bias.
+
+    q: (B, T, H, D); k/v: (B, S, H, D); bias: (B*H or 1, T, S) fp32/bf16.
+    No custom VJP (used for frozen towers: SAM windowed attention)."""
+    B, T, H, D = q.shape
+    S = k.shape[1]
+    scale = (1.0 / math.sqrt(D)) if scale is None else scale
+    block_q = min(block_q, _round_up(T, 8))
+    block_k = min(block_k, _round_up(S, 128))
+    Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
+    Dp = _round_up(D, 128)
+
+    def _prep(x, L, Lp):
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0), (0, Dp - D)))
+        return x.transpose(0, 2, 1, 3).reshape(B * H, Lp, Dp)
+
+    qf, kf, vf = _prep(q, T, Tp), _prep(k, S, Sp), _prep(v, S, Sp)
+    bias = jnp.pad(bias, ((0, 0), (0, Tp - T), (0, Sp - S)))
+    o, _ = _flash_fwd(qf, kf, vf, causal=False, scale=scale,
+                      block_q=block_q, block_k=block_k, s_real=S,
+                      with_lse=False, bias=bias)
     o = o.reshape(B, H, Tp, Dp).transpose(0, 2, 1, 3)
     return o[:, :T, :, :D]
 

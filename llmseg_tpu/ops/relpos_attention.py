@@ -12,8 +12,11 @@ from two tiny per-row tables
 computed outside with two small einsums (~1MB each), using
     bias[(h, w), (h', w')] = rh[(h, w), h'] + rw[(h, w), w'].
 
-The key loop walks one token-grid row (G columns) per step, so the block
-bias is simply  rh[:, kj:kj+1] + rw  — pure VPU broadcasting.
+Block reconstruction is dynamic-index-free (Mosaic cannot dynamic-slice the
+lane dim): the block bias is two tiny selection matmuls,
+    bias_blk = rh @ E_kj + rw @ Tile,
+where E_kj[h', c] = [h' == kj*m + c//G] (built from iotas per step) and
+Tile[w', c] = [w' == c%G] (static, hoisted out of the loop).
 
 Forward only: SAM is frozen in every LLM-Seg workload (offline AMG and the
 legacy pixel decoder both run inference-only).
@@ -33,7 +36,9 @@ from llmseg_tpu.ops.attention import NEG_INF, _interpret, _prec, _round_up
 
 
 def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
-            block_q, grid_g):
+            block_q, block_k, grid_g):
+    G = grid_g
+    m = block_k // G                                       # h' rows per block
     q = q_ref[0]                                           # (Bq, D)
     rh = rh_ref[0].astype(jnp.float32)                     # (Bq, G)
     rw = rw_ref[0].astype(jnp.float32)                     # (Bq, G)
@@ -41,21 +46,25 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
     l_i = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
 
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
+    tile_mat = (row_ids == col_ids % G).astype(jnp.float32)    # static
+    rw_tiled = jax.lax.dot(rw, tile_mat,
+                           preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)  # (Bq, Bk)
+
     def body(kj, carry):
         m_i, l_i, acc = carry
-        kblk = k_ref[0, pl.ds(kj * grid_g, grid_g), :]
-        vblk = v_ref[0, pl.ds(kj * grid_g, grid_g), :]
+        kblk = k_ref[0, pl.ds(kj * block_k, block_k), :]
+        vblk = v_ref[0, pl.ds(kj * block_k, block_k), :]
         s = jax.lax.dot_general(
             q, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_prec(q)) * scale                    # (Bq, G)
-        # bias for key row h'=kj: rh[:, kj] broadcast + rw over w'.
-        # (Mosaic cannot dynamic-slice the lane dim of a value, so select
-        # the column with a one-hot masked reduction instead.)
-        col_ids = jax.lax.broadcasted_iota(jnp.int32, rh.shape, 1)
-        rh_col = jnp.sum(jnp.where(col_ids == kj, rh, 0.0), axis=1,
-                         keepdims=True)
-        s = s + rh_col + rw
+            precision=_prec(q)) * scale                    # (Bq, Bk)
+        sel = (row_ids == kj * m + col_ids // G).astype(jnp.float32)
+        s = s + jax.lax.dot(rh, sel,
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST) + rw_tiled
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m_i - m_new)
         p = jnp.exp(s - m_new)
@@ -65,13 +74,16 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
             precision=_prec(vblk))
         return m_new, l_new, acc_new
 
-    m_i, l_i, acc = jax.lax.fori_loop(0, grid_g, body, (m_i, l_i, acc))
+    num_k_blocks = (G * G) // block_k
+    m_i, l_i, acc = jax.lax.fori_loop(0, num_k_blocks, body,
+                                      (m_i, l_i, acc))
     l_safe = jnp.where(l_i == 0.0, 1.0, l_i)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
 
 
 def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
-                           scale=None, block_q: int = 512):
+                           scale=None, block_q: int = 512,
+                           block_k: int = 512):
     """q/k/v: (B, T, H, D) with T == grid_g^2 (square token grid);
     rel_pos_h/rel_pos_w: (2*G-1, D) tables.  Returns (B, T, H, D)."""
     from llmseg_tpu.models.sam.image_encoder import _rel_pos_table
@@ -94,7 +106,9 @@ def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
     rw = rw.reshape(B * H, T, G)
 
     block_q = min(block_q, T)
-    assert T % block_q == 0, (T, block_q)
+    block_k = min(block_k, T)
+    block_k = max((block_k // G) * G, G)                   # multiple of G
+    assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
     Dp = _round_up(D, 128)
 
     def _prep(x):
@@ -103,7 +117,8 @@ def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
 
     qf, kf, vf = _prep(q), _prep(k), _prep(v)
 
-    kern = functools.partial(_kernel, scale=scale, block_q=block_q, grid_g=G)
+    kern = functools.partial(_kernel, scale=scale, block_q=block_q,
+                             block_k=block_k, grid_g=G)
     o = pl.pallas_call(
         kern,
         grid=(B * H, T // block_q),

@@ -42,3 +42,31 @@ def test_relpos_flash_bf16():
     got = relpos_flash_attention(q, k, v, rel_h, rel_w, G, block_q=256)
     np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(ref),
                                atol=3e-2, rtol=3e-2)
+
+
+def test_flash_attention_bias_matches_xla():
+    from llmseg_tpu.ops.attention import flash_attention_bias
+
+    B, T, H, D = 2, 196, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(3), 4)
+    q = jax.random.normal(ks[0], (B, T, H, D))
+    k = jax.random.normal(ks[1], (B, T, H, D))
+    v = jax.random.normal(ks[2], (B, T, H, D))
+    bias = 0.5 * jax.random.normal(ks[3], (B * H, T, T))
+    ref = attention_xla(q, k, v, bias=bias.reshape(B, H, T, T))
+    got = flash_attention_bias(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_flash_attention_bias_broadcast():
+    from llmseg_tpu.ops.attention import flash_attention_bias
+
+    B, T, H, D = 2, 64, 2, 16
+    ks = jax.random.split(jax.random.PRNGKey(4), 4)
+    q = jax.random.normal(ks[0], (B, T, H, D))
+    bias = 0.5 * jax.random.normal(ks[3], (1, T, T))
+    ref = attention_xla(q, q, q, bias=bias[None])
+    got = flash_attention_bias(q, q, q, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
