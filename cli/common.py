@@ -23,6 +23,9 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--resume_ckpt", default="", help="llmseg DeepSpeed/.pt checkpoint to import")
     p.add_argument("--model_size", default="7b", choices=["7b", "small", "tiny"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    p.add_argument("--quantize_frozen", action="store_true",
+                   help="QLoRA layout: int8 frozen LLM base (fits 7B "
+                        "training on one 16GB chip)")
     p.add_argument("--model_max_length", type=int, default=512)
     p.add_argument("--out_dim", type=int, default=256)
     p.add_argument("--use_mm_start_end", action="store_true", default=True)
@@ -106,6 +109,7 @@ def to_config(args) -> C.ExperimentConfig:
         steps_per_epoch=args.steps_per_epoch, batch_size=args.batch_size,
         grad_accum_steps=args.grad_accumulation_steps,
         grad_clip=args.grad_clip, precision=args.precision,
+        quantize_frozen=args.quantize_frozen,
         lora=C.LoraConfig(rank=args.lora_r, alpha=args.lora_alpha,
                           dropout=args.lora_dropout,
                           target_modules=tuple(

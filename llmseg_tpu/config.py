@@ -380,6 +380,7 @@ class TrainConfig:
     grad_accum_steps: int = 10
     grad_clip: float = 1.0
     precision: str = "bf16"
+    quantize_frozen: bool = False    # QLoRA layout: int8 frozen LLM base
     lora: LoraConfig = field(default_factory=LoraConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
     seed: int = 42

@@ -111,10 +111,12 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
                            image_embeds=img_embeds,
                            lora=lora, lora_cfg=lora_cfg, remat=remat)
 
-    # 3. [SEG] embedding -> text projection
+    # 3. [SEG] embedding -> text projection.  One-hot einsum instead of
+    # take_along_axis: its transpose is another einsum, not a scatter —
+    # scatters force an SPMD full-rematerialization under the dp/fsdp mesh.
     seg_idx, has_seg = seg_hidden_index(batch["input_ids"], cfg)
-    seg_hidden = jnp.take_along_axis(
-        hidden, seg_idx[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    onehot = jax.nn.one_hot(seg_idx, hidden.shape[1], dtype=hidden.dtype)
+    seg_hidden = jnp.einsum("rt,rtd->rd", onehot, hidden)
     pred_embeddings = selection_head.project_text(params["select"],
                                                   seg_hidden)   # (R, 256)
 

@@ -34,8 +34,9 @@ def make_mesh(cfg: Optional[MeshConfig] = None,
     cfg = cfg or MeshConfig()
     fsdp, tp = max(cfg.fsdp, 1), max(cfg.tensor, 1)
     dp = cfg.data if cfg.data > 0 else n // (fsdp * tp)
-    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
-    arr = np.asarray(devices).reshape(dp, fsdp, tp)
+    need = dp * fsdp * tp
+    assert need <= n, f"mesh {dp}x{fsdp}x{tp} needs {need} devices, have {n}"
+    arr = np.asarray(devices[:need]).reshape(dp, fsdp, tp)
     return Mesh(arr, AXES)
 
 

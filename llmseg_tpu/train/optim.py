@@ -49,6 +49,9 @@ def warmup_decay_schedule(cfg: TrainConfig) -> optax.Schedule:
 
 
 def make_optimizer(cfg: TrainConfig, params: dict) -> optax.GradientTransformation:
+    """Masked optimizer over the FULL param tree (frozen leaves get zero
+    updates).  Prefer partition() + make_trainable_optimizer() for large
+    models: it allocates grads/optimizer state only for the trainable subset."""
     mask = trainable_mask(params)
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip),
@@ -61,3 +64,71 @@ def make_optimizer(cfg: TrainConfig, params: dict) -> optax.GradientTransformati
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx
+
+
+def make_trainable_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    """Optimizer over the trainable-subset tree returned by partition()."""
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip),
+        optax.adamw(warmup_decay_schedule(cfg), b1=cfg.beta1, b2=cfg.beta2,
+                    weight_decay=cfg.weight_decay),
+    )
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
+
+
+# ---------------------------------------------------------------------------
+# Trainable/frozen partition (the DeepSpeed-free ZeRO-friendly layout:
+# gradients + optimizer state exist ONLY for the trainable subset — with
+# LoRA + heads that is ~0.6GB at 7B instead of 27GB)
+# ---------------------------------------------------------------------------
+
+
+def partition(params: dict):
+    """-> (trainable: {path_str: leaf}, skeleton: params with None holes)."""
+    mask = trainable_mask(params)
+    trainable = {}
+
+    def walk(node, m, path):
+        if isinstance(node, dict):
+            return {k: walk(v, m[k], path + (str(k),)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, m[i], path + (str(i),))
+                              for i, v in enumerate(node))
+        if m:
+            trainable["/".join(path)] = node
+            return None
+        return node
+
+    skeleton = walk(params, mask, ())
+    return trainable, skeleton
+
+
+def combine(skeleton: dict, trainable: dict) -> dict:
+    """Inverse of partition(): fill the None holes from the flat dict."""
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            return {k: walk(v, path + (str(k),)) for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(walk(v, path + (str(i),))
+                              for i, v in enumerate(node))
+        if node is None:
+            return trainable["/".join(path)]
+        return node
+
+    return walk(skeleton, ())
+
+
+def quantize_skeleton(skeleton: dict) -> dict:
+    """QLoRA-style: int8-quantize the frozen LLaMA base weights inside the
+    skeleton (halves their HBM; LoRA/heads stay full precision)."""
+    from llmseg_tpu.ops import quant
+
+    out = dict(skeleton)
+    if "llava" in out and "llm" in out["llava"]:
+        llava = dict(out["llava"])
+        llava["llm"] = quant.quantize_llama(llava["llm"])
+        out["llava"] = llava
+    return out

@@ -42,3 +42,30 @@ def make_eval_step(cfg: LLMSegConfig,
     def eval_step(params, batch):
         return llmseg.predict(params, cfg, batch, lora_cfg=lora_cfg)
     return eval_step
+
+
+def make_partitioned_train_step(cfg: LLMSegConfig,
+                                tx: optax.GradientTransformation,
+                                lora_cfg: Optional[LoraConfig] = None,
+                                remat: bool = True):
+    """Train step over a (trainable, skeleton) partition (see optim.partition):
+    gradients and optimizer state exist only for the trainable subset, and
+    the frozen skeleton may hold int8-quantized base weights (QLoRA layout).
+    This is what makes single-chip 7B training fit: full-tree grads + Adam
+    state would add ~27GB; here they are ~1GB."""
+
+    def train_step(trainable, skeleton, opt_state, batch):
+        def loss(tf):
+            from llmseg_tpu.train import optim
+
+            params = optim.combine(skeleton, tf)
+            return llmseg.loss_fn(params, cfg, batch, lora_cfg=lora_cfg,
+                                  remat=remat)
+
+        (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(trainable)
+        updates, opt_state = tx.update(grads, opt_state, trainable)
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, {**aux,
+                                      "grad_norm": optax.global_norm(grads)}
+
+    return train_step

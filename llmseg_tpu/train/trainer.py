@@ -37,12 +37,17 @@ class Trainer:
                                      cfg.model, dtype=dtype,
                                      lora_cfg=self.lora_cfg)
         with self.mesh:
-            self.params = M.shard_params(params, self.mesh)
-            self.tx = optim.make_optimizer(cfg.train, self.params)
-            self.opt_state = self.tx.init(self.params)
-        step_fn = ts_lib.make_train_step(cfg.model, self.tx,
-                                         lora_cfg=self.lora_cfg, remat=True)
-        self.train_step = jax.jit(step_fn, donate_argnums=(0, 1))
+            params = M.shard_params(params, self.mesh)
+            # trainable/frozen partition: grads + Adam state only for the
+            # trainable subset; optional int8 frozen base (QLoRA)
+            self.trainable, self.skeleton = optim.partition(params)
+            if cfg.train.quantize_frozen:
+                self.skeleton = optim.quantize_skeleton(self.skeleton)
+            self.tx = optim.make_trainable_optimizer(cfg.train)
+            self.opt_state = self.tx.init(self.trainable)
+        step_fn = ts_lib.make_partitioned_train_step(
+            cfg.model, self.tx, lora_cfg=self.lora_cfg, remat=True)
+        self.train_step = jax.jit(step_fn, donate_argnums=(0, 2))
         self.eval_step = jax.jit(
             ts_lib.make_eval_step(cfg.model, lora_cfg=self.lora_cfg))
         self.global_step = 0
@@ -51,6 +56,10 @@ class Trainer:
         os.makedirs(self.log_dir, exist_ok=True)
         self.best = ckpt_lib.BestKeeper(self.log_dir,
                                         cfg.train.save_best_metric)
+
+    @property
+    def params(self):
+        return optim.combine(self.skeleton, self.trainable)
 
     # -- checkpointing ------------------------------------------------------
 
@@ -61,7 +70,9 @@ class Trainer:
         params, opt_state, step = ckpt_lib.restore(
             self.log_dir, step, params_like=self.params,
             opt_state_like=None if weights_only else self.opt_state)
-        self.params = params
+        self.trainable, self.skeleton = optim.partition(params)
+        if self.cfg.train.quantize_frozen:
+            self.skeleton = optim.quantize_skeleton(self.skeleton)
         if opt_state is not None:
             self.opt_state = opt_state
             self.global_step = step
@@ -100,8 +111,8 @@ class Trainer:
                 batch = M.shard_batch(
                     {k: jnp.asarray(v) for k, v in host_batch.items()},
                     self.mesh)
-                self.params, self.opt_state, metrics = self.train_step(
-                    self.params, self.opt_state, batch)
+                self.trainable, self.opt_state, metrics = self.train_step(
+                    self.trainable, self.skeleton, self.opt_state, batch)
                 if profiler is not None and micro + 1 == profile_steps:
                     jax.block_until_ready(metrics)
                     profiler.__exit__(None, None, None)

@@ -175,3 +175,61 @@ def test_checkpoint_roundtrip(tmp_path):
     assert not keeper.update(9, {"giou": 0.4, "ciou": 0.2}, params)
     keeper2 = ckpt_lib.BestKeeper(log_dir, "giou")
     assert keeper2.best == 0.6
+
+
+def test_partition_combine_roundtrip():
+    cfg = C.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg,
+                         lora_cfg=C.LoraConfig(rank=2))
+    trainable, skeleton = optim.partition(params)
+    assert "select/text_fc1/w" in trainable
+    assert "llava/llm/embed_tokens" in trainable
+    assert "lora/layers/0/q/a" in trainable
+    assert skeleton["select"]["text_fc1"]["w"] is None
+    assert skeleton["dino"]["blocks"][0]["attn"]["q"]["w"] is not None
+    merged = optim.combine(skeleton, trainable)
+    ref, got = jax.tree.leaves(params), jax.tree.leaves(merged)
+    assert len(ref) == len(got)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_partitioned_train_step_and_qlora():
+    cfg = C.llmseg_tiny()
+    tcfg = C.TrainConfig(grad_accum_steps=1, epochs=1, steps_per_epoch=10,
+                         warmup_steps=0, lr=1e-2)
+    params = llmseg.init(jax.random.PRNGKey(0), cfg,
+                         lora_cfg=C.LoraConfig(rank=2))
+    trainable, skeleton = optim.partition(params)
+    skeleton_q = optim.quantize_skeleton(skeleton)
+    assert "w_q" in skeleton_q["llava"]["llm"]["layers"][0]["attn"]["q"]
+    # trainable holes untouched by quantization
+    assert skeleton_q["llava"]["llm"]["lm_head"]["w"] is None
+
+    tx = optim.make_trainable_optimizer(tcfg)
+    opt_state = tx.init(trainable)
+    step = jax.jit(ts_lib.make_partitioned_train_step(
+        cfg, tx, lora_cfg=C.LoraConfig(rank=2), remat=False))
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    before = np.asarray(trainable["select/text_fc1/w"])
+    trainable2, opt_state, metrics = step(trainable, skeleton_q, opt_state,
+                                          batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.abs(np.asarray(trainable2["select/text_fc1/w"]) - before).max() > 0
+
+
+def test_trainer_epoch_tiny(tmp_path):
+    from llmseg_tpu.train.trainer import Trainer
+
+    cfg = C.ExperimentConfig(
+        model=C.llmseg_tiny(),
+        train=C.TrainConfig(grad_accum_steps=2, epochs=1, steps_per_epoch=2,
+                            warmup_steps=0, lr=1e-3,
+                            log_dir=str(tmp_path),
+                            mesh=C.MeshConfig(data=1),
+                            lora=C.LoraConfig(rank=2)))
+    trainer = Trainer(cfg)
+    batch = make_batch(cfg.model, num_images=1, rows_per_image=1, text_len=32)
+    metrics = trainer.train_epoch([batch] * 4, epoch=0)
+    assert np.isfinite(metrics["loss"])
+    assert trainer.global_step == 2
