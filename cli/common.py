@@ -77,11 +77,24 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_threshold", type=float, default=0.5)
     p.add_argument("--auto_resume", action="store_true", default=True)
     # mesh
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() (TPU pod slices)")
     p.add_argument("--mesh_dp", type=int, default=-1)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_tp", type=int, default=1)
     p.add_argument("--seed", type=int, default=42)
     return p
+
+
+def maybe_init_multihost(args):
+    """Multi-host runtime init (the deepspeed-launcher replacement for pods:
+    one process per host, ICI/DCN discovered by the TPU runtime)."""
+    if getattr(args, "multihost", False):
+        import jax
+
+        jax.distributed.initialize()
+        print(f"multihost: process {jax.process_index()}/"
+              f"{jax.process_count()}, {jax.device_count()} devices")
 
 
 def to_config(args) -> C.ExperimentConfig:

@@ -26,6 +26,7 @@ def main(argv=None):
     parser.set_defaults(lr=1e-5, epochs=5,
                         val_dataset="LLMSeg|val")
     args = parser.parse_args(argv)
+    common.maybe_init_multihost(args)
     cfg = common.to_config(args)
     lora_cfg = cfg.train.lora
 

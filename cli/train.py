@@ -20,6 +20,7 @@ def main(argv=None):
     from llmseg_tpu.train.trainer import Trainer
 
     args = common.build_parser("train").parse_args(argv)
+    common.maybe_init_multihost(args)
     cfg = common.to_config(args)
     lora_cfg = cfg.train.lora
 
