@@ -32,14 +32,13 @@ def main(argv=None):
 
     params = common.import_initial_params(args, cfg, lora_cfg)
 
-    writer = None
-    try:
-        from tensorboardX import SummaryWriter
+    import jax as _jax
 
-        writer = SummaryWriter(cfg.train.log_dir)
-    except ImportError:
-        pass
+    from llmseg_tpu.utils.logging import MetricLogger
 
+    writer = MetricLogger(cfg.train.log_dir, project="llmseg",
+                          exp_name=cfg.train.exp_name,
+                          rank=_jax.process_index())
     trainer = Trainer(cfg, lora_cfg=lora_cfg, params=params, writer=writer)
     if args.auto_resume:
         trainer.maybe_resume()

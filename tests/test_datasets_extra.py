@@ -125,3 +125,40 @@ def test_vqa_branch(tmp_path):
     assert "[SEG]" not in s["conversations"][0]
     assert s["ious"].shape == (1, 3)
     assert s["masks"] is None
+
+
+def test_grefer_multi_ann_union(tmp_path):
+    """G_REFER refs aggregating multiple ann_ids (and -1 no-target)."""
+    from llmseg_tpu.data.refer import G_REFER
+
+    ds_dir = tmp_path / "grefcoco"
+    ds_dir.mkdir()
+    instances = {
+        "images": [{"id": 1, "height": 20, "width": 20, "file_name": "x.jpg"}],
+        "annotations": [
+            {"id": 10, "image_id": 1, "category_id": 5,
+             "bbox": [0, 0, 5, 5],
+             "segmentation": [[0, 0, 5, 0, 5, 5, 0, 5]]},
+            {"id": 11, "image_id": 1, "category_id": 5,
+             "bbox": [10, 10, 5, 5],
+             "segmentation": [[10, 10, 15, 10, 15, 15, 10, 15]]},
+        ],
+        "categories": [{"id": 5, "name": "thing"}],
+    }
+    (ds_dir / "instances.json").write_text(json.dumps(instances))
+    refs = [
+        {"ref_id": 0, "ann_id": [10, 11], "image_id": 1, "category_id": 5,
+         "split": "train",
+         "sentences": [{"sent_id": 0, "sent": "both things"}]},
+        {"ref_id": 1, "ann_id": [-1], "image_id": 1, "category_id": 5,
+         "split": "train",
+         "sentences": [{"sent_id": 1, "sent": "nothing here"}]},
+    ]
+    with open(ds_dir / "grefs(unc).p", "wb") as f:
+        pickle.dump(refs, f)
+    api = G_REFER(str(tmp_path), "grefcoco", "unc")
+    m0 = api.getMask(api.Refs[0])["mask"]
+    assert m0[2, 2] == 1 and m0[12, 12] == 1    # union of both anns
+    assert m0[2, 12] == 0
+    m1 = api.getMask(api.Refs[1])["mask"]
+    assert m1.sum() == 0                        # no-target ref
