@@ -26,6 +26,13 @@ def run(config_name: str):
     import jax
     import jax.numpy as jnp
 
+    try:  # persistent compile cache: first run ~5-10 min, later runs seconds
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception as e:
+        log(f"bench: compile cache unavailable: {e}")
+
     from llmseg_tpu import config as C
     from llmseg_tpu.data.synthetic import make_batch
     from llmseg_tpu.models import llmseg

@@ -185,7 +185,8 @@ def build_train_dataset(args, cfg: C.ExperimentConfig, readers_cache: Dict):
     common = dict(samples_per_epoch=cfg.train.steps_per_epoch
                   * cfg.train.batch_size * cfg.train.grad_accum_steps,
                   num_classes_per_sample=cfg.data.num_classes_per_sample,
-                  image_size=cfg.data.image_size, seed=cfg.train.seed,
+                  image_size=cfg.data.image_size,
+                  clip_size=cfg.data.clip_image_size, seed=cfg.train.seed,
                   conv_type=args.conv_type)
     parts = []
     for name in cfg.data.dataset.split("||"):
@@ -230,7 +231,9 @@ def build_val_dataset(args, cfg: C.ExperimentConfig, readers_cache: Dict):
             readers_cache[key] = load_reader(paths, key)
         return readers_cache[key]
 
-    common = dict(image_size=cfg.data.image_size, conv_type=args.conv_type)
+    common = dict(image_size=cfg.data.image_size,
+                  clip_size=cfg.data.clip_image_size,
+                  conv_type=args.conv_type)
     if cfg.data.val_dataset.startswith("ReasonSeg"):
         return D.ValReasonSegDataset(cfg.data.dataset_dir,
                                      reader("reasonseg_val"),

@@ -52,11 +52,12 @@ class BaseDataset:
 
     def __init__(self, samples_per_epoch: int = 500 * 8 * 2 * 10,
                  num_classes_per_sample: int = 3, image_size: int = 896,
-                 seg_grid: int = 256, seed: int = 0,
+                 clip_size: int = 224, seg_grid: int = 256, seed: int = 0,
                  conv_type: str = "llava_v1"):
         self.samples_per_epoch = samples_per_epoch
         self.num_classes_per_sample = num_classes_per_sample
         self.image_size = image_size
+        self.clip_size = clip_size
         self.seg_grid = seg_grid
         self.rng = np.random.default_rng(seed)
         self.conv_type = conv_type
@@ -66,7 +67,7 @@ class BaseDataset:
 
     def _prep_images(self, image: np.ndarray):
         dino, resize = image_ops.preprocess_dino(image, self.image_size)
-        clip = image_ops.preprocess_clip(image)
+        clip = image_ops.preprocess_clip(image, self.clip_size)
         return dino, clip, resize
 
     def _prep_segs(self, segs_square: np.ndarray) -> np.ndarray:
