@@ -105,6 +105,24 @@ def _dense_lora(p, lp, x, scaling: float):
 # ---------------------------------------------------------------------------
 
 
+def embed(params: dict, input_ids: jnp.ndarray,
+          one_hot: bool = False) -> jnp.ndarray:
+    """Token embedding lookup.
+
+    one_hot=True uses a one-hot matmul instead of a gather: with embed_tokens
+    sharded (tp, fsdp) under the mesh, a gather's backward is a scatter from
+    batch-sharded cotangents into the tp/fsdp-sharded table, which GSPMD can
+    only realize by replicating (involuntary full rematerialization); the
+    matmul's transpose is another matmul that partitions cleanly.  Costs an
+    (R, T, V) one-hot on the MXU — use only under a multi-device mesh.
+    """
+    table = params["embed_tokens"]
+    if not one_hot:
+        return table[input_ids]
+    oh = jax.nn.one_hot(input_ids, table.shape[0], dtype=table.dtype)
+    return jnp.einsum("rtv,vd->rtd", oh, table)
+
+
 def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
                 positions=None):
     B, T, _ = x.shape
@@ -142,11 +160,11 @@ def apply(params: dict, cfg: LlamaConfig, *,
           inputs_embeds: Optional[jnp.ndarray] = None,
           lora: Optional[dict] = None,
           lora_cfg: Optional[LoraConfig] = None,
-          remat: bool = False) -> jnp.ndarray:
+          remat: bool = False, one_hot_embed: bool = False) -> jnp.ndarray:
     """Returns final-norm hidden states (B, T, D) — matching the reference's
     output_hidden_states[-1] (HF appends the post-norm state last)."""
     if inputs_embeds is None:
-        inputs_embeds = params["embed_tokens"][input_ids]
+        inputs_embeds = embed(params, input_ids, one_hot=one_hot_embed)
     x = inputs_embeds
     T = x.shape[1]
     assert T <= cfg.max_seq_len, (

@@ -69,17 +69,24 @@ def splice_image_tokens(text_embeds: jnp.ndarray, image_embeds: jnp.ndarray,
     text_idx = jnp.where(j < pos, j, j - N + 1)
     text_idx = jnp.clip(text_idx, 0, T - 1)
     img_idx = jnp.clip(j - pos, 0, N - 1)
-    gathered_text = jnp.take_along_axis(text_embeds, text_idx[..., None],
-                                        axis=1)
-    gathered_img = jnp.take_along_axis(image_embeds, img_idx[..., None],
-                                       axis=1)
-    return jnp.where(in_image[..., None], gathered_img, gathered_text)
+    # One-hot einsums, not take_along_axis: the transpose of a gather is a
+    # scatter, which forces an SPMD full-rematerialization of the (B, T, D)
+    # activations under the dp/fsdp mesh; the transpose of an einsum is
+    # another einsum.  Masking the one-hot rows replaces the final where.
+    oh_text = jax.nn.one_hot(text_idx, T, dtype=text_embeds.dtype)
+    oh_text = oh_text * (~in_image)[..., None].astype(text_embeds.dtype)
+    oh_img = jax.nn.one_hot(img_idx, N, dtype=text_embeds.dtype)
+    oh_img = oh_img * in_image[..., None].astype(text_embeds.dtype)
+    return (jnp.einsum("bts,bsd->btd", oh_text, text_embeds)
+            + jnp.einsum("bts,bsd->btd", oh_img,
+                         image_embeds.astype(text_embeds.dtype)))
 
 
 def splice_labels(labels: jnp.ndarray, image_pos: jnp.ndarray,
                   num_image_tokens: int) -> jnp.ndarray:
     """Same splice for labels: image token span gets IGNORE_INDEX
-    (reference llava_arch.py:128-259 label padding)."""
+    (reference llava_arch.py:128-259 label padding).  Integer labels carry no
+    gradient, so take_along_axis is safe here (no scatter in any backward)."""
     B, T = labels.shape
     N = num_image_tokens
     j = jnp.arange(T + N - 1)[None, :]
@@ -96,7 +103,7 @@ def forward(params: dict, cfg: LlavaConfig, *,
             image_embeds: Optional[jnp.ndarray] = None,
             lora: Optional[dict] = None,
             lora_cfg: Optional[LoraConfig] = None,
-            remat: bool = False) -> jnp.ndarray:
+            remat: bool = False, one_hot_embed: bool = False) -> jnp.ndarray:
     """Full multimodal forward -> final hidden states (B, T+N-1, D).
 
     Provide `images` (CLIP pixel input, possibly fewer rows than input_ids
@@ -104,7 +111,7 @@ def forward(params: dict, cfg: LlavaConfig, *,
     """
     if image_embeds is None:
         image_embeds = encode_images(params, cfg, images)
-    text_embeds = params["llm"]["embed_tokens"][input_ids]
+    text_embeds = llama.embed(params["llm"], input_ids, one_hot=one_hot_embed)
     x = splice_image_tokens(text_embeds, image_embeds.astype(text_embeds.dtype),
                             image_pos)
     return llama.apply(params["llm"], cfg.llm, inputs_embeds=x, lora=lora,

@@ -73,7 +73,7 @@ def seg_hidden_index(input_ids: jnp.ndarray, cfg: LLMSegConfig):
 
 def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
             lora_cfg: Optional[LoraConfig] = None,
-            remat: bool = False) -> Dict:
+            remat: bool = False, one_hot_embed: bool = False) -> Dict:
     """Shared train/inference forward.
 
     batch keys (shapes; B=images, R=conversation rows, K=max_proposals,
@@ -109,7 +109,8 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
                            input_ids=batch["input_ids"],
                            image_pos=batch["image_pos"],
                            image_embeds=img_embeds,
-                           lora=lora, lora_cfg=lora_cfg, remat=remat)
+                           lora=lora, lora_cfg=lora_cfg, remat=remat,
+                           one_hot_embed=one_hot_embed)
 
     # 3. [SEG] embedding -> text projection.  One-hot einsum instead of
     # take_along_axis: its transpose is another einsum, not a scatter —
@@ -138,7 +139,7 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
 
 def loss_fn(params: dict, cfg: LLMSegConfig, batch: Dict, *,
             lora_cfg: Optional[LoraConfig] = None,
-            remat: bool = False) -> tuple:
+            remat: bool = False, one_hot_embed: bool = False) -> tuple:
     """Total training loss (reference LISA.py:416-474).
 
     Extra batch keys: labels (R, T), gt_ious (R, K), gt_iops (R, K).
@@ -146,7 +147,8 @@ def loss_fn(params: dict, cfg: LLMSegConfig, batch: Dict, *,
     averaged over images with >=1 valid row (reference's
     round-mean -> batch-mean, LISA.py:420-463).
     """
-    out = forward(params, cfg, batch, lora_cfg=lora_cfg, remat=remat)
+    out = forward(params, cfg, batch, lora_cfg=lora_cfg, remat=remat,
+                  one_hot_embed=one_hot_embed)
     B = batch["images_dino"].shape[0]
     lv = cfg.llava
 

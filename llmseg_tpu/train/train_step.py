@@ -22,13 +22,15 @@ from llmseg_tpu.models import llmseg
 
 def make_train_step(cfg: LLMSegConfig, tx: optax.GradientTransformation,
                     lora_cfg: Optional[LoraConfig] = None,
-                    remat: bool = True):
+                    remat: bool = True, one_hot_embed: bool = False):
     """Returns jittable (params, opt_state, batch) -> (params, opt_state, metrics)."""
 
     def train_step(params, opt_state, batch):
         (loss, aux), grads = jax.value_and_grad(
             lambda p: llmseg.loss_fn(p, cfg, batch, lora_cfg=lora_cfg,
-                                     remat=remat), has_aux=True)(params)
+                                     remat=remat,
+                                     one_hot_embed=one_hot_embed),
+            has_aux=True)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         gnorm = optax.global_norm(grads)
@@ -47,7 +49,8 @@ def make_eval_step(cfg: LLMSegConfig,
 def make_partitioned_train_step(cfg: LLMSegConfig,
                                 tx: optax.GradientTransformation,
                                 lora_cfg: Optional[LoraConfig] = None,
-                                remat: bool = True):
+                                remat: bool = True,
+                                one_hot_embed: bool = False):
     """Train step over a (trainable, skeleton) partition (see optim.partition):
     gradients and optimizer state exist only for the trainable subset, and
     the frozen skeleton may hold int8-quantized base weights (QLoRA layout).
@@ -60,7 +63,7 @@ def make_partitioned_train_step(cfg: LLMSegConfig,
 
             params = optim.combine(skeleton, tf)
             return llmseg.loss_fn(params, cfg, batch, lora_cfg=lora_cfg,
-                                  remat=remat)
+                                  remat=remat, one_hot_embed=one_hot_embed)
 
         (l, aux), grads = jax.value_and_grad(loss, has_aux=True)(trainable)
         updates, opt_state = tx.update(grads, opt_state, trainable)
