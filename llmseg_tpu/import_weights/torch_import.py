@@ -395,7 +395,18 @@ def import_llmseg_checkpoint(path: str, cfg, lora_cfg=None) -> Dict:
     Note: SAM weights inside the checkpoint (model.visual_model.*) belong to
     the legacy pixel-decoder path and are imported only when cfg.sam is set.
     """
-    sd = load_torch_state(path)
+    return import_llmseg_state(load_torch_state(path), cfg, lora_cfg=lora_cfg)
+
+
+def import_llmseg_state(sd: Dict[str, np.ndarray], cfg, lora_cfg=None,
+                        include_towers: bool = False) -> Dict:
+    """In-memory LISAForCausalLM state dict -> llmseg params tree.
+
+    include_towers=True additionally imports the CLIP vision tower
+    (model.vision_tower.vision_tower.*), for state dicts taken directly from
+    a live reference model (parity tests) rather than the reference's saved
+    checkpoints (which exclude the frozen towers).
+    """
     base, lora_sd = strip_peft(sd)
 
     llm = import_llama(base, cfg.llava.llm, prefix="model.")
@@ -441,6 +452,10 @@ def import_llmseg_checkpoint(path: str, cfg, lora_cfg=None) -> Dict:
     for key in ("model.mm_projector",):
         if f"{key}.weight" in base:
             out["llava"]["mm_projector"] = linear(base, key)
+    if include_towers:
+        out["llava"]["vision_tower"] = import_clip_vision(
+            base, cfg.llava.vision,
+            prefix="model.vision_tower.vision_tower.vision_model.")
 
     if lora_sd and lora_cfg is not None:
         layers = []

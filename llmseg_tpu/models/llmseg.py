@@ -40,12 +40,20 @@ def init(key, cfg: LLMSegConfig, dtype=jnp.float32,
 
 
 def dino_features(params: dict, cfg: LLMSegConfig,
-                  images: jnp.ndarray) -> jnp.ndarray:
+                  images: jnp.ndarray,
+                  precomputed: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """(B, 896, 896, 3) -> (B, seg_grid^2, 256) projected + upsampled features
     (reference LISA.py:186-199,244-245,350-354: frozen dino -> lisa_dino_conv
-    -> fp32 bilinear 64 -> 256)."""
-    feats = jax.lax.stop_gradient(
-        vit.dino_patch_features(params["dino"], images, cfg.dino))
+    -> fp32 bilinear 64 -> 256).
+
+    precomputed: raw patch tokens (B, grid^2, dino_dim) to use instead of
+    running the tower — for feature caching and cross-implementation parity
+    tests (the tower is frozen, so offline feature extraction is exact)."""
+    if precomputed is not None:
+        feats = jax.lax.stop_gradient(precomputed)
+    else:
+        feats = jax.lax.stop_gradient(
+            vit.dino_patch_features(params["dino"], images, cfg.dino))
     feats = selection_head.project_dino(params["select"], feats)
     B, N, D = feats.shape
     g = cfg.dino.grid
@@ -89,7 +97,8 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
     lv = cfg.llava
 
     # 1. DINOv2 proposal features + mask pooling (frozen tower)
-    feat_flat = dino_features(params, cfg, batch["images_dino"])
+    feat_flat = dino_features(params, cfg, batch["images_dino"],
+                              precomputed=batch.get("dino_feats"))
     B = feat_flat.shape[0]
 
     segs = batch["sam_segs"].reshape(B, batch["sam_segs"].shape[1], -1)
