@@ -215,11 +215,15 @@ class AutomaticMaskGenerator:
             area = rle.area(r)
             if area == 0:
                 continue
-            bbox = rle.to_bbox(r)
+            # reference bbox wire format: box_xyxy_to_xywh of the INCLUSIVE-
+            # edge mask box (amg.py:91,179) -> w = x_max - x_min (no +1)
+            ys, xs = np.nonzero(m)
+            bbox = [float(xs.min()), float(ys.min()),
+                    float(xs.max() - xs.min()), float(ys.max() - ys.min())]
             anns.append({
                 "segmentation": r,
                 "area": int(area),
-                "bbox": [float(v) for v in bbox],
+                "bbox": bbox,
                 "predicted_iou": float(iou[i]),
                 "point_coords": [[float(pts[i][0]), float(pts[i][1])]],
                 "stability_score": float(stability[i]),

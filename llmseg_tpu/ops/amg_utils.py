@@ -80,7 +80,12 @@ def calculate_stability_score(mask_logits: jnp.ndarray, mask_threshold: float,
 
 def batched_mask_to_box(masks: jnp.ndarray) -> jnp.ndarray:
     """Binary masks (..., H, W) -> xyxy boxes (..., 4); zeros for empty masks
-    (reference amg.py:303-346)."""
+    (reference amg.py:303-346).
+
+    NOTE: the reference keeps INCLUSIVE right/bottom edges (the max pixel
+    index, no +1) — NMS IoUs and the masks.json bbox wire format
+    (box_xyxy_to_xywh, amg.py:91 -> w = x1 - x0) inherit that convention, so
+    we match it exactly."""
     H, W = masks.shape[-2:]
     m = masks.astype(bool)
     any_row = jnp.any(m, axis=-1)                 # (..., H)
@@ -92,7 +97,7 @@ def batched_mask_to_box(masks: jnp.ndarray) -> jnp.ndarray:
     left = jnp.min(jnp.where(any_col, cols, W), axis=-1)
     right = jnp.max(jnp.where(any_col, cols, -1), axis=-1)
     empty = ~jnp.any(any_row, axis=-1)
-    box = jnp.stack([left, top, right + 1, bottom + 1], axis=-1)
+    box = jnp.stack([left, top, right, bottom], axis=-1)
     return jnp.where(empty[..., None], 0, box).astype(jnp.float32)
 
 

@@ -24,7 +24,8 @@ def test_mask_to_box():
     m = np.zeros((2, 8, 8), bool)
     m[0, 2:5, 3:7] = True
     boxes = amg_utils.batched_mask_to_box(jnp.asarray(m))
-    np.testing.assert_array_equal(np.asarray(boxes[0]), [3, 2, 7, 5])
+    # inclusive right/bottom edges, matching the reference convention
+    np.testing.assert_array_equal(np.asarray(boxes[0]), [3, 2, 6, 4])
     np.testing.assert_array_equal(np.asarray(boxes[1]), [0, 0, 0, 0])
 
 

@@ -1,0 +1,258 @@
+"""AMG parity vs the reference SamAutomaticMaskGenerator (SURVEY §7 stage 2:
+'validate mask-for-mask against the reference generator').
+
+Part 1 — op-level: our amg_utils / rle ops vs the ACTUAL reference functions
+(model/segment_anything/utils/amg.py), exact.
+
+Part 2 — end-to-end: one tiny SAM, same weights in torch and JAX, full
+everything-mode generation on a synthetic image; kept-mask sets must match.
+
+The tiny config uses patch_size=4 so the decoder's low-res mask grid (4x the
+embedding grid) EQUALS the input frame (64x64): the reference's
+postprocess_masks upscale becomes the identity, and both implementations
+threshold/score the same logits — keep decisions then differ only on float
+ties (documented in models/sam/amg.py, which otherwise filters at low-res).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(__file__))
+import reference_stubs  # noqa: E402
+
+reference_stubs.install()
+
+from llmseg_tpu import config as C  # noqa: E402
+from llmseg_tpu.import_weights import torch_import as TI  # noqa: E402
+from llmseg_tpu.models.sam import amg as amg_lib  # noqa: E402
+from llmseg_tpu.ops import amg_utils, nms, rle  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# Part 1: ops vs the actual reference functions
+# ---------------------------------------------------------------------------
+
+
+def test_stability_score_matches_reference():
+    from model.segment_anything.utils.amg import calculate_stability_score
+
+    rng = np.random.RandomState(0)
+    logits = rng.randn(13, 24, 24).astype(np.float32) * 3
+    ref = calculate_stability_score(torch.from_numpy(logits), 0.0, 1.0)
+    got = amg_utils.calculate_stability_score(jnp.asarray(logits), 0.0, 1.0)
+    np.testing.assert_allclose(np.asarray(got), ref.numpy(), atol=1e-6)
+
+
+def test_mask_to_box_matches_reference():
+    from model.segment_anything.utils.amg import batched_mask_to_box
+
+    rng = np.random.RandomState(1)
+    masks = rng.rand(17, 20, 31) > 0.8
+    masks[3] = False                       # empty mask -> zero box
+    ref = batched_mask_to_box(torch.from_numpy(masks))
+    got = amg_utils.batched_mask_to_box(jnp.asarray(masks))
+    np.testing.assert_array_equal(np.asarray(got), ref.numpy())
+
+
+def test_rle_matches_reference_codec():
+    from model.segment_anything.utils.amg import (mask_to_rle_pytorch,
+                                                  rle_to_mask)
+
+    rng = np.random.RandomState(2)
+    masks = rng.rand(9, 33, 27) > 0.7
+    ref_rles = mask_to_rle_pytorch(torch.from_numpy(masks[:, None][:, 0]))
+    for i, r in enumerate(ref_rles):
+        ours = rle.mask_to_counts(masks[i].astype(np.uint8))
+        assert ours == r["counts"], f"mask {i} counts differ"
+        # and decode round-trips through the reference decoder
+        np.testing.assert_array_equal(
+            rle_to_mask(r), rle.counts_to_mask(ours, *r["size"]).astype(bool))
+
+
+def test_point_grid_and_crops_match_reference():
+    from model.segment_anything.utils.amg import (build_point_grid,
+                                                  generate_crop_boxes)
+
+    np.testing.assert_allclose(amg_utils.build_point_grid(7),
+                               build_point_grid(7), atol=0)
+    ref_boxes, ref_layers = generate_crop_boxes((480, 640), 2, 512 / 1500)
+    got_boxes, got_layers = amg_utils.generate_crop_boxes((480, 640), 2,
+                                                          512 / 1500)
+    assert [list(b) for b in got_boxes] == [list(b) for b in ref_boxes]
+    assert list(got_layers) == list(ref_layers)
+
+
+def test_nms_matches_reference_batched_nms():
+    # reference_stubs installs a pure-torch greedy NMS with torchvision
+    # semantics; our fixpoint NMS must agree on random boxes
+    from torchvision.ops.boxes import batched_nms
+
+    rng = np.random.RandomState(3)
+    n = 40
+    xy = rng.rand(n, 2) * 50
+    wh = rng.rand(n, 2) * 30 + 2
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    ref_keep = batched_nms(torch.from_numpy(boxes), torch.from_numpy(scores),
+                           torch.zeros(n, dtype=torch.long), 0.5)
+    ref_set = set(ref_keep.tolist())
+    got = np.asarray(nms.nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    got_set = set(np.nonzero(got)[0].tolist())
+    assert got_set == ref_set
+
+
+# ---------------------------------------------------------------------------
+# Part 2: end-to-end everything-mode parity, same weights
+# ---------------------------------------------------------------------------
+
+
+def _tiny_cfg() -> C.SamConfig:
+    return C.SamConfig(
+        encoder=C.SamEncoderConfig(
+            img_size=64, patch_size=4, embed_dim=32, depth=2, num_heads=2,
+            out_chans=16, window_size=4, global_attn_indexes=(1,)),
+        prompt=C.SamPromptConfig(embed_dim=16, image_embedding_size=16,
+                                 input_image_size=64, mask_in_chans=4),
+        decoder=C.SamDecoderConfig(transformer_dim=16, transformer_depth=2,
+                                   transformer_mlp_dim=32,
+                                   transformer_num_heads=2,
+                                   iou_head_hidden_dim=16),
+    )
+
+
+def _build_ref_sam():
+    from functools import partial
+
+    from model.segment_anything.modeling import (ImageEncoderViT, MaskDecoder,
+                                                 PromptEncoder, Sam,
+                                                 TwoWayTransformer)
+
+    torch.manual_seed(0)
+    sam = Sam(
+        image_encoder=ImageEncoderViT(
+            depth=2, embed_dim=32, img_size=64, mlp_ratio=4,
+            norm_layer=partial(torch.nn.LayerNorm, eps=1e-6), num_heads=2,
+            patch_size=4, qkv_bias=True, use_rel_pos=True,
+            global_attn_indexes=(1,), window_size=4, out_chans=16),
+        prompt_encoder=PromptEncoder(
+            embed_dim=16, image_embedding_size=(16, 16),
+            input_image_size=(64, 64), mask_in_chans=4),
+        mask_decoder=MaskDecoder(
+            num_multimask_outputs=3,
+            transformer=TwoWayTransformer(depth=2, embedding_dim=16,
+                                          mlp_dim=32, num_heads=2),
+            transformer_dim=16, iou_head_depth=3, iou_head_hidden_dim=16),
+        pixel_mean=[123.675, 116.28, 103.53],
+        pixel_std=[58.395, 57.12, 57.375],
+    )
+    return sam.float().eval()
+
+
+def _blob_image(h=48, w=64, seed=4):
+    """Synthetic image with smooth blobs (uint8)."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.zeros((h, w, 3), np.float32)
+    for _ in range(5):
+        cy, cx = rng.rand(2) * [h, w]
+        s = rng.rand() * 12 + 4
+        blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * s * s))
+        img += blob[..., None] * rng.rand(3) * 255
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.slow
+def test_amg_survivors_match_reference():
+    from model.segment_anything.automatic_mask_generator import \
+        SamAutomaticMaskGenerator
+
+    ref_sam = _build_ref_sam()
+    # Latent reference bug: predictor.py:233-237 calls prompt_encoder without
+    # the LISA-added required text_embeds arg (prompt_encoder.py:140-146) —
+    # the reference's AMG extraction predates that extension.  Default it.
+    pe = ref_sam.prompt_encoder
+    orig_pe_forward = pe.forward
+    pe.forward = (lambda points, boxes, masks, text_embeds=None:
+                  orig_pe_forward(points, boxes, masks, text_embeds))
+    cfg = _tiny_cfg()
+    sd = {k: v.detach().numpy() for k, v in ref_sam.state_dict().items()}
+    params = TI.import_sam(sd, cfg)
+
+    # Random weights produce masks whose BOXES nearly coincide (the decoder's
+    # point dependence is weak), so greedy NMS at 0.7 collapses everything to
+    # one survivor on both sides — asserted at the end.  The main comparison
+    # runs with NMS pass-through (thresh 1.5) so the iou/stability filters
+    # select a non-trivial subset (~NMS itself has exact parity in
+    # test_nms_matches_reference_batched_nms).  pred_iou_thresh must be > 0:
+    # the reference SKIPS the filter at <= 0 (automatic_mask_generator.py:291)
+    # while ours always applies it.
+    filt = dict(points_per_side=6, points_per_batch=16, pred_iou_thresh=0.01,
+                stability_score_thresh=0.12, stability_score_offset=0.05,
+                box_nms_thresh=1.5, min_mask_region_area=0)
+    amg_cfg = C.AMGConfig(max_masks=128, **filt)
+    ref_gen = SamAutomaticMaskGenerator(ref_sam, crop_n_layers=0, **filt)
+    our_gen = amg_lib.AutomaticMaskGenerator(params, cfg, amg_cfg)
+
+    image = _blob_image()
+    with torch.no_grad():
+        ref_anns = ref_gen.generate(image)
+    our_anns = our_gen.generate(image)
+
+    assert len(ref_anns) > 5, (
+        f"reference kept only {len(ref_anns)} — retune thresholds")
+    ref_masks = np.stack([a["segmentation"] for a in ref_anns])
+    our_masks = np.stack([rle.decode(a["segmentation"]).astype(bool)
+                          for a in our_anns])
+    assert ref_masks.shape[1:] == our_masks.shape[1:]
+
+    # greedy best-IoU matching: every reference survivor must have a
+    # near-identical counterpart and vice versa (float ties aside)
+    inter = np.einsum("ahw,bhw->ab", ref_masks.astype(np.float64),
+                      our_masks.astype(np.float64))
+    union = (ref_masks.sum((1, 2))[:, None] + our_masks.sum((1, 2))[None, :]
+             - inter)
+    iou = inter / np.maximum(union, 1)
+    assert len(our_anns) == len(ref_anns), (
+        f"kept counts differ: ref {len(ref_anns)} vs ours {len(our_anns)}; "
+        f"best IoUs {iou.max(1) if len(our_anns) else '[]'}")
+    matched = iou.max(axis=1)
+    assert (matched > 0.98).all(), f"unmatched reference masks: {matched}"
+
+    # the survivor score MULTISETS agree (argmax matching can swap two
+    # near-identical masks, so compare sorted score arrays)
+    ref_iou_scores = np.sort([a["predicted_iou"] for a in ref_anns])
+    our_iou_scores = np.sort([a["predicted_iou"] for a in our_anns])
+    np.testing.assert_allclose(our_iou_scores, ref_iou_scores, atol=2e-4)
+    ref_stab = np.sort([a["stability_score"] for a in ref_anns])
+    our_stab = np.sort([a["stability_score"] for a in our_anns])
+    # our candidate logits are held in bf16 (deliberate: halves the HBM of
+    # the P*3 candidate set, models/sam/amg.py:87) -> thresholded areas can
+    # shift by a pixel or two vs the reference's fp32 stability
+    np.testing.assert_allclose(our_stab, ref_stab, atol=8e-3)
+    # and the bbox wire format (inclusive-edge xywh) matches per best-match
+    j = iou.argmax(axis=1)
+    ref_bbox = np.array([a["bbox"] for a in ref_anns], np.float64)
+    our_bbox = np.array([our_anns[k]["bbox"] for k in j], np.float64)
+    np.testing.assert_allclose(our_bbox, ref_bbox, atol=1.0)
+
+    # greedy NMS at 0.7: boxes nearly coincide -> both collapse identically
+    nms_filt = dict(filt, box_nms_thresh=0.7)
+    ref_nms = SamAutomaticMaskGenerator(ref_sam, crop_n_layers=0, **nms_filt)
+    our_nms = amg_lib.AutomaticMaskGenerator(
+        params, cfg, C.AMGConfig(max_masks=128, **nms_filt))
+    with torch.no_grad():
+        ref_k = ref_nms.generate(image)
+    our_k = our_nms.generate(image)
+    assert len(ref_k) == len(our_k)
+    for ra, oa in zip(ref_k, our_k):
+        om = rle.decode(oa["segmentation"]).astype(bool)
+        i = (ra["segmentation"] & om).sum()
+        u = (ra["segmentation"] | om).sum()
+        assert i / max(u, 1) > 0.98
