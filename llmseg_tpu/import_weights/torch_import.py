@@ -341,11 +341,53 @@ def _pad_vocab(w: np.ndarray, vocab_size: int) -> np.ndarray:
     return np.concatenate([w, pad], axis=0)
 
 
+def apply_delta(base_sd: Dict[str, np.ndarray],
+                delta_sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Merge LLaVA delta weights over a base LLaMA (the published
+    LLaVA-lightning-7B-v1 ships as deltas; reference
+    model/llava/model/apply_delta.py:27-56):
+
+      * keys absent from base must be the mm_projector (kept as-is),
+      * same-shape keys: delta + base,
+      * embed_tokens / lm_head (delta vocab is larger, added special
+        tokens): base added into the leading [V_base, D_base] block.
+    """
+    out: Dict[str, np.ndarray] = {}
+    for name, p in delta_sd.items():
+        if name not in base_sd:
+            if name not in ("model.mm_projector.weight",
+                            "model.mm_projector.bias"):
+                raise KeyError(f"delta key {name} not in base model")
+            out[name] = p
+            continue
+        b = base_sd[name]
+        if p.shape == b.shape:
+            out[name] = p + b
+        else:
+            if name not in ("model.embed_tokens.weight", "lm_head.weight"):
+                raise ValueError(
+                    f"{name} dimension mismatch: {p.shape} vs {b.shape}")
+            q = np.array(p, copy=True)
+            q[:b.shape[0], :b.shape[1]] += b
+            out[name] = q
+    return out
+
+
+def import_llava_delta_dirs(base_path: str, delta_path: str, cfg) -> Dict:
+    """base LLaMA HF dir + LLaVA delta HF dir -> merged llava params
+    (the reference README's weight-acquisition path: apply_delta then load)."""
+    merged = apply_delta(load_hf_dir(base_path), load_hf_dir(delta_path))
+    return import_llava_state(merged, cfg)
+
+
 def import_llava_dir(path: str, cfg) -> Dict:
     """HF LLaVA directory -> {vision_tower?, mm_projector, llm}.  The vision
     tower usually lives in a separate CLIP checkpoint; if the LLaVA dir has
     mm_projector weights they are imported here."""
-    sd = load_hf_dir(path)
+    return import_llava_state(load_hf_dir(path), cfg)
+
+
+def import_llava_state(sd: Dict[str, np.ndarray], cfg) -> Dict:
     out = {"llm": import_llama(sd, cfg.llm, prefix="model.")}
     for key in ("model.mm_projector", "mm_projector"):
         if f"{key}.weight" in sd:

@@ -108,11 +108,18 @@ def prefill_cache(params: dict, cfg: LlamaConfig, inputs_embeds: jnp.ndarray,
 
 def greedy_generate(params: dict, cfg: LlamaConfig,
                     inputs_embeds: jnp.ndarray, max_new_tokens: int,
-                    *, eos_token_id: int = 2, lora=None, lora_cfg=None
+                    *, eos_token_id: int = 2, lora=None, lora_cfg=None,
+                    stop_token_ids: Tuple[int, ...] = ()
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Greedy decode.  Returns (tokens (B, N), hidden_states (B, N, D) —
     the final-norm hidden state at each generated position, matching the
-    reference's output_hidden_states from generate)."""
+    reference's output_hidden_states from generate).
+
+    stop_token_ids: extra ids that latch termination, the TPU equivalent of
+    the reference's KeywordsStoppingCriteria (mm_utils.py:56-88).  The
+    reference only ever registers ["</s>"] (= EOS, LISA.py:509-512), so
+    single-token keywords cover its behavior; decoding stays a fixed-length
+    scan either way (XLA static shapes), finished rows just repeat EOS."""
     B, T, D = inputs_embeds.shape
     total = T + max_new_tokens
     assert total <= cfg.max_seq_len
@@ -142,6 +149,8 @@ def greedy_generate(params: dict, cfg: LlamaConfig,
             new_cv.append(v_i)
         h = L.rmsnorm(params["norm"], x, cfg.rms_norm_eps)
         done = done | (tok == eos_token_id)   # latch BEFORE choosing next
+        for sid in stop_token_ids:
+            done = done | (tok == sid)
         next_tok = jnp.argmax(llama.logits(params, cfg, h)[:, 0], axis=-1)
         next_tok = jnp.where(done, eos_token_id, next_tok)
         return ((next_tok, jnp.stack(new_ck), jnp.stack(new_cv), done),

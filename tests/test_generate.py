@@ -71,3 +71,28 @@ def test_pixel_decoder_path():
     assert tokens.shape == (B, 4)
     assert masks.shape == (B, 96, 128)
     assert np.isfinite(np.asarray(tokens)).all()
+
+
+def test_stop_token_ids_latch():
+    """stop_token_ids acts like KeywordsStoppingCriteria with a single-token
+    keyword (reference mm_utils.py:56-88 used with ['</s>'])."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models import generate as gen_lib, llama
+
+    cfg = C.llama_tiny(vocab_size=64)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 4, cfg.hidden_size))
+    toks_plain, _ = gen_lib.greedy_generate(params, cfg, x, 8,
+                                            eos_token_id=63)
+    first = int(np.asarray(toks_plain)[0, 0])
+    # stopping on the very first generated token freezes the rest at EOS
+    toks_stop, _ = gen_lib.greedy_generate(params, cfg, x, 8,
+                                           eos_token_id=63,
+                                           stop_token_ids=(first,))
+    out = np.asarray(toks_stop)[0]
+    assert out[0] == first
+    assert (out[1:] == 63).all()

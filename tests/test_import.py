@@ -285,3 +285,97 @@ def test_sam_import_structural():
 
     masks, iou = S.forward(params, cfg, img, points=points, labels=labels)
     assert masks.shape[0] == 1 and np.isfinite(np.asarray(masks)).all()
+
+
+def test_apply_delta_matches_reference_semantics():
+    """Our numpy apply_delta vs the reference's merge loop
+    (model/llava/model/apply_delta.py:27-56) run on the same tensors."""
+    rng = np.random.RandomState(0)
+    D, V_base, V_delta = 8, 16, 20
+    base = {
+        "model.embed_tokens.weight": rng.randn(V_base, D).astype(np.float32),
+        "lm_head.weight": rng.randn(V_base, D).astype(np.float32),
+        "model.layers.0.self_attn.q_proj.weight":
+            rng.randn(D, D).astype(np.float32),
+    }
+    delta = {
+        "model.embed_tokens.weight": rng.randn(V_delta, D).astype(np.float32),
+        "lm_head.weight": rng.randn(V_delta, D).astype(np.float32),
+        "model.layers.0.self_attn.q_proj.weight":
+            rng.randn(D, D).astype(np.float32),
+        "model.mm_projector.weight": rng.randn(D, 4).astype(np.float32),
+        "model.mm_projector.bias": rng.randn(D).astype(np.float32),
+    }
+    got = TI.apply_delta(base, delta)
+
+    # reference loop, verbatim semantics in torch
+    tbase = {k: torch.from_numpy(v) for k, v in base.items()}
+    ref = {}
+    for name, param in {k: torch.from_numpy(v.copy())
+                        for k, v in delta.items()}.items():
+        if name not in tbase:
+            assert name in ["model.mm_projector.weight",
+                            "model.mm_projector.bias"]
+            ref[name] = param
+            continue
+        if param.shape == tbase[name].shape:
+            param += tbase[name]
+        else:
+            bparam = tbase[name]
+            param[: bparam.shape[0], : bparam.shape[1]] += bparam
+        ref[name] = param
+    for k in ref:
+        np.testing.assert_allclose(got[k], ref[k].numpy(), atol=0,
+                                   err_msg=k)
+    assert set(got) == set(ref)
+
+    # unexpected extra keys / shape mismatches must raise, as the reference
+    # asserts
+    with pytest.raises(KeyError):
+        TI.apply_delta(base, {"model.unknown.weight": delta["lm_head.weight"]})
+    with pytest.raises(ValueError):
+        TI.apply_delta(base, {"model.layers.0.self_attn.q_proj.weight":
+                              rng.randn(D, D + 1).astype(np.float32)})
+
+
+def test_import_llava_delta_dirs(tmp_path):
+    """base LLaMA dir + LLaVA delta dir -> merged params equal importing a
+    pre-merged dir."""
+    from transformers import LlamaConfig as HFCfg
+    from transformers import LlamaForCausalLM
+
+    hf_cfg = HFCfg(vocab_size=32, hidden_size=16, intermediate_size=32,
+                   num_hidden_layers=1, num_attention_heads=2,
+                   num_key_value_heads=2, max_position_embeddings=32)
+    torch.manual_seed(0)
+    base = LlamaForCausalLM(hf_cfg).eval()
+    base_dir = tmp_path / "base"
+    base.save_pretrained(base_dir)
+
+    # delta: same arch, larger vocab, plus a projector
+    hf_cfg2 = HFCfg(vocab_size=36, hidden_size=16, intermediate_size=32,
+                    num_hidden_layers=1, num_attention_heads=2,
+                    num_key_value_heads=2, max_position_embeddings=32)
+    torch.manual_seed(1)
+    delta = LlamaForCausalLM(hf_cfg2).eval()
+    delta_dir = tmp_path / "delta"
+    delta.save_pretrained(delta_dir)
+    import safetensors.numpy as st
+
+    extra = {"model.mm_projector.weight": np.ones((16, 8), np.float32),
+             "model.mm_projector.bias": np.zeros(16, np.float32)}
+    dsd = TI.load_hf_dir(str(delta_dir))
+    st.save_file({**dsd, **extra}, str(delta_dir / "model.safetensors"))
+
+    cfg = C.LlavaConfig(
+        llm=C.LlamaConfig(vocab_size=36, hidden_size=16,
+                          intermediate_size=32, num_layers=1, num_heads=2,
+                          num_kv_heads=2, head_dim=8, max_seq_len=32),
+        mm_hidden_size=8)
+    params = TI.import_llava_delta_dirs(str(base_dir), str(delta_dir), cfg)
+    merged = TI.apply_delta(TI.load_hf_dir(str(base_dir)),
+                            TI.load_hf_dir(str(delta_dir)))
+    expect = merged["model.embed_tokens.weight"]
+    np.testing.assert_allclose(params["llm"]["embed_tokens"], expect)
+    np.testing.assert_allclose(np.asarray(params["mm_projector"]["w"]),
+                               extra["model.mm_projector.weight"].T)

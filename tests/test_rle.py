@@ -97,3 +97,25 @@ def test_native_iou_iop():
         union = np.logical_or(gt, props[i]).sum()
         np.testing.assert_allclose(iou[i], inter / union, rtol=1e-6)
         np.testing.assert_allclose(iop[i], inter / props[i].sum(), rtol=1e-6)
+
+
+def test_rle_fuzz_vs_pycocotools():
+    """Bit-compat with the pycocotools C extension — the reference's wire
+    format (amg.py:295-300).  Skips where pycocotools is absent (this image);
+    runs wherever it exists."""
+    mask_util = pytest.importorskip("pycocotools.mask")
+    rng = np.random.RandomState(0)
+    for i in range(100):
+        h = int(rng.randint(1, 40))
+        w = int(rng.randint(1, 40))
+        density = rng.rand()
+        m = (rng.rand(h, w) < density).astype(np.uint8)
+        ref = mask_util.encode(np.asfortranarray(m))
+        ours = rle.encode(m)
+        assert ours["counts"] == ref["counts"].decode("utf-8"), f"case {i}"
+        assert ours["size"] == list(ref["size"])
+        np.testing.assert_array_equal(rle.decode(ours),
+                                      mask_util.decode(ref))
+        assert rle.area(ours) == int(mask_util.area(ref))
+        np.testing.assert_allclose(rle.to_bbox(ours),
+                                   mask_util.toBbox(ref))
