@@ -1,12 +1,16 @@
 """Headline benchmark: end-to-end ReasonSeg inference throughput per chip.
 
 Measures the reference's inference configuration (BASELINE.json: "Full
-inference: SAM masks + LLaVA-7B [SEG] decode + mask-selection transformer,
-batch 1"): per image, one DINOv2 ViT-L/14 forward @896^2, one CLIP ViT-L/14
-forward @224^2, one LLaMA teacher-forced forward over the spliced sequence,
-mask pooling over K=50 proposals, and the selection head.  SAM proposal
-generation is offline in the reference (prepare_datasets) and is excluded,
-exactly as in reference validate_threshold (training.py:690-870).
+inference: SAM masks + LLaVA-7B [SEG] decode + mask-selection transformer"):
+per image, one DINOv2 ViT-L/14 forward @896^2, one CLIP ViT-L/14 forward
+@224^2, one LLaMA teacher-forced forward over the spliced sequence, mask
+pooling over K=50 proposals, and the selection head.  SAM proposal generation
+is offline in the reference (prepare_datasets) and is excluded, exactly as in
+reference validate_threshold (training.py:690-870).
+
+Round-2 scope (VERDICT #6): batch sweep {1, 4, 8}, per-tower ms breakdown,
+and vs_baseline = achieved model FLOP/s over the v5e bf16 peak (MFU), all
+logged to stderr; the headline JSON line reports the best sweep point.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -17,9 +21,56 @@ import json
 import sys
 import time
 
+V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
+
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def _vit_flops(cfg, tokens=None):
+    n = tokens if tokens is not None else cfg.num_patches + 1
+    d = cfg.hidden_size
+    mlp = int(cfg.mlp_ratio * d)
+    per_layer = 8 * n * d * d + 4 * n * mlp * d + 4 * n * n * d
+    return cfg.depth * per_layer
+
+
+def _llama_flops(cfg, seq):
+    d = cfg.hidden_size
+    per_layer = (2 * seq * d * (cfg.num_heads + 2 * cfg.num_kv_heads)
+                 * cfg.head_dim
+                 + 2 * seq * cfg.num_heads * cfg.head_dim * d
+                 + 6 * seq * d * cfg.intermediate_size
+                 + 4 * seq * seq * cfg.num_heads * cfg.head_dim)
+    return cfg.num_layers * per_layer
+
+
+def model_flops_per_image(cfg, text_len: int) -> float:
+    """Analytic forward FLOPs per image (2 x MACs) for the inference path."""
+    lv = cfg.llava
+    seq = text_len + lv.num_image_tokens - 1
+    f = _vit_flops(cfg.dino)                       # DINOv2 @896
+    f += _vit_flops(lv.vision)                     # CLIP @224
+    f += _llama_flops(lv.llm, seq)
+    f += 2 * cfg.max_proposals * cfg.seg_grid ** 2 * cfg.select.dim  # pooling
+    return float(f)
+
+
+def _timeit(fn, *args, iters=8, repeats=3):
+    """Min-of-repeats average ms.  Through the remote-device tunnel,
+    block_until_ready does not block; force a sync by pulling each scalar."""
+    t0 = time.perf_counter()
+    val = float(fn(*args))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        outs = [fn(*args) for _ in range(iters)]
+        for o in outs:
+            float(o)
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters, compile_s, val
 
 
 def run(config_name: str):
@@ -35,10 +86,11 @@ def run(config_name: str):
 
     from llmseg_tpu import config as C
     from llmseg_tpu.data.synthetic import make_batch
-    from llmseg_tpu.models import llmseg
+    from llmseg_tpu.models import llama, llava, llmseg, selection_head
 
     cfg = getattr(C, config_name)()
     dtype = jnp.bfloat16
+    TEXT_LEN = 512
     log(f"bench: config={config_name} backend={jax.default_backend()} "
         f"devices={jax.devices()}")
 
@@ -49,44 +101,87 @@ def run(config_name: str):
     jax.block_until_ready(params)
     log(f"bench: init {time.perf_counter() - t0:.1f}s")
 
-    batch = make_batch(cfg, num_images=1, rows_per_image=1,
-                       text_len=512, dtype=dtype)
+    flops = model_flops_per_image(cfg, TEXT_LEN)
+    log(f"bench: analytic fwd FLOPs/image = {flops / 1e12:.2f} TFLOP")
 
-    # Timing through the remote-device tunnel: block_until_ready does not
-    # block (measured 0.7ms for a 7B forward) and a per-call host sync costs
-    # ~30-90ms.  Instead: enqueue ITERS async calls, then transfer each
-    # scalar at the end — executions overlap the earlier transfers, so
-    # total/ITERS converges to pure device time.  (An in-graph fori_loop was
-    # tried first but made XLA materialize transposed copies of the LLM
-    # weights outside the loop -> OOM at 7B.)
-    ITERS = 8
     fn = jax.jit(
         lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"].sum())
-    t0 = time.perf_counter()
-    val = float(fn(params, batch))
-    log(f"bench: compile+first step {time.perf_counter() - t0:.1f}s "
-        f"(val={val:.4f})")
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter()
-        outs = [fn(params, batch) for _ in range(ITERS)]
-        for o in outs:
-            float(o)
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts) / ITERS
-    log(f"bench: {dt * 1e3:.1f} ms/image ({min(ts):.3f}s per {ITERS} images)")
-    return 1.0 / dt
+
+    # ---- batch sweep ----
+    results = {}
+    for bsz in (1, 4, 8):
+        try:
+            batch = make_batch(cfg, num_images=bsz, rows_per_image=1,
+                               text_len=TEXT_LEN, dtype=dtype)
+            dt, compile_s, val = _timeit(fn, params, batch)
+            ips = bsz / dt
+            mfu = flops * ips / V5E_BF16_PEAK
+            results[bsz] = (ips, mfu)
+            log(f"bench: batch {bsz}: {dt * 1e3:.1f} ms/step, "
+                f"{ips:.2f} img/s, MFU {mfu * 100:.1f}% "
+                f"(compile {compile_s:.1f}s, val {val:.3f})")
+        except Exception as e:
+            log(f"bench: batch {bsz} failed: {type(e).__name__}: "
+                f"{str(e)[:200]}")
+            break
+
+    if not results:
+        raise RuntimeError("no batch size fit")
+
+    # ---- per-tower breakdown (batch 1) ----
+    try:
+        batch = make_batch(cfg, num_images=1, rows_per_image=1,
+                           text_len=TEXT_LEN, dtype=dtype)
+        lv = cfg.llava
+        f_dino = jax.jit(lambda p, b: llmseg.dino_features(
+            p, cfg, b["images_dino"]).sum())
+        f_clip = jax.jit(lambda p, b: llava.encode_images(
+            p["llava"], lv, b["images_clip"]).sum())
+        img_embeds = jax.jit(lambda p, b: llava.encode_images(
+            p["llava"], lv, b["images_clip"]))(params, batch)
+        f_llm = jax.jit(lambda p, b, e: llava.forward(
+            p["llava"], lv, input_ids=b["input_ids"],
+            image_pos=b["image_pos"], image_embeds=e).sum())
+        R, K, D = 1, cfg.max_proposals, cfg.select.dim
+        pe = jnp.zeros((R, K, D), dtype)
+        te = jnp.zeros((R, D), dtype)
+        pv = jnp.ones((R, K), bool)
+        f_head = jax.jit(lambda p: selection_head.apply(
+            p["select"], cfg.select, pe, te, pv)[0].sum())
+        for name, f, args in (
+                ("dino", f_dino, (params, batch)),
+                ("clip", f_clip, (params, batch)),
+                ("llama", f_llm, (params, batch, img_embeds)),
+                ("select_head", f_head, (params,))):
+            dt, _, _ = _timeit(f, *args, iters=8, repeats=2)
+            log(f"bench: tower {name}: {dt * 1e3:.2f} ms")
+    except Exception as e:
+        log(f"bench: tower breakdown failed: {type(e).__name__}: "
+            f"{str(e)[:200]}")
+
+    best_bsz = max(results, key=lambda b: results[b][0])
+    ips, mfu = results[best_bsz]
+    return ips, mfu, best_bsz
 
 
 def main():
-    for name in ("llmseg_7b", "llmseg_small"):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default=None,
+                    help="bench one named config only")
+    args = ap.parse_args()
+    names = ([args.config] if args.config
+             else ["llmseg_7b", "llmseg_small"])
+    for name in names:
         try:
-            ips = run(name)
+            ips, mfu, bsz = run(name)
             print(json.dumps({
-                "metric": f"reasonseg_e2e_infer_images_per_sec_chip[{name}]",
+                "metric": (f"reasonseg_e2e_infer_images_per_sec_chip"
+                           f"[{name},batch{bsz}]"),
                 "value": round(ips, 4),
                 "unit": "images/s",
-                "vs_baseline": None,
+                "vs_baseline": round(mfu, 4),
             }))
             return
         except Exception as e:  # OOM or compile failure: fall back

@@ -24,6 +24,7 @@ def test_parser_to_config():
     assert cfg.model.max_proposals == 8  # tiny preset
 
 
+@pytest.mark.slow
 def test_prepare_cli_end_to_end(tmp_path, monkeypatch):
     import cv2
 

@@ -60,6 +60,7 @@ def reason_tree(tmp_path):
     return root
 
 
+@pytest.mark.slow
 def test_reason_seg_dataset_to_model(reason_tree):
     import jax
 

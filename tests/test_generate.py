@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +49,7 @@ def tokens_first(params, cfg, embeds):
     return jnp.argmax(llama.logits(params, cfg, h[:, -1:])[:, 0], axis=-1)[0]
 
 
+@pytest.mark.slow
 def test_pixel_decoder_path():
     from llmseg_tpu.models import llmseg, pixel_decoder
     from llmseg_tpu.models.sam import sam as sam_lib

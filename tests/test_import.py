@@ -338,6 +338,7 @@ def test_apply_delta_matches_reference_semantics():
                               rng.randn(D, D + 1).astype(np.float32)})
 
 
+@pytest.mark.slow
 def test_import_llava_delta_dirs(tmp_path):
     """base LLaMA dir + LLaVA delta dir -> merged params equal importing a
     pre-merged dir."""

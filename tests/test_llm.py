@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from llmseg_tpu import config as C
 from llmseg_tpu.models import llama, llava
@@ -23,6 +24,7 @@ def test_llama_shapes_and_causality():
     assert np.abs(np.asarray(h[:, 20:]) - np.asarray(h2[:, 20:])).max() > 1e-4
 
 
+@pytest.mark.slow
 def test_lora_noop_at_init_then_trains():
     cfg = C.llama_tiny()
     lcfg = C.LoraConfig(rank=4)

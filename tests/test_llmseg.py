@@ -1,6 +1,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from llmseg_tpu import config as C
 from llmseg_tpu.data.synthetic import make_batch
@@ -31,6 +32,7 @@ def test_forward_shapes():
     assert (iou[pv] >= 0).all() and (iou[pv] <= 1).all()
 
 
+@pytest.mark.slow
 def test_loss_and_grads():
     cfg, params, batch = _setup()
 

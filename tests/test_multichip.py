@@ -73,6 +73,7 @@ def _flatten_opt(opt_state):
     return flat
 
 
+@pytest.mark.slow
 def test_partitioned_step_dp8():
     _, _, metrics, _ = _run_step(8, 1, 1, one_hot_embed=False)
     assert np.isfinite(float(metrics["loss"]))

@@ -218,6 +218,7 @@ def test_partitioned_train_step_and_qlora():
     assert np.abs(np.asarray(trainable2["select/text_fc1/w"]) - before).max() > 0
 
 
+@pytest.mark.slow
 def test_trainer_epoch_tiny(tmp_path):
     from llmseg_tpu.train.trainer import Trainer
 
