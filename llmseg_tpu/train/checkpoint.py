@@ -66,7 +66,14 @@ def restore(log_dir: str, step: Optional[int] = None, *,
 
 class BestKeeper:
     """Best-only checkpoint policy keyed on a metric (reference
-    training.py:455-477 + meta_log_giou_ciou.pth breadcrumb)."""
+    training.py:455-477 + meta_log_giou_ciou.pth breadcrumb).
+
+    Resume-from-best semantics: update() saves BOTH params and, when the
+    caller passes one (trainer.save_best does), the optimizer state — so
+    resuming from the best checkpoint restores the full training state.
+    The reference's best checkpoint is a DeepSpeed save_checkpoint dir with
+    optimizer shards, so parity holds either way; a weights-only best can be
+    produced by passing opt_state=None."""
 
     def __init__(self, log_dir: str, metric: str = "giou"):
         self.log_dir = log_dir

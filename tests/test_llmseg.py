@@ -83,3 +83,32 @@ def test_vqa_row_without_seg_is_masked():
     out = llmseg.forward(params, cfg, batch)
     rv = np.asarray(out["row_valid"])
     assert rv[0] and not rv[1]
+
+
+def test_every_preset_inits_and_eval_shapes():
+    """Property test over config presets (VERDICT weak #7): init under
+    eval_shape (no FLOPs) and check the predict contract shapes line up for
+    every preset, so preset drift (e.g. a selection-head dim not following
+    the llm/dino dims) fails loudly."""
+    import jax
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.data.synthetic import make_batch
+
+    for name in ("llmseg_tiny", "llmseg_small", "llmseg_7b"):
+        cfg = getattr(C, name)()
+        assert cfg.select.llm_dim == cfg.llava.llm.hidden_size, name
+        assert cfg.select.dino_dim == cfg.dino.hidden_size, name
+        assert cfg.llava.num_image_tokens == cfg.llava.vision.num_patches, name
+        assert cfg.llava.mm_hidden_size == cfg.llava.vision.hidden_size, name
+
+        params = jax.eval_shape(
+            lambda k, c=cfg: llmseg.init(k, c), jax.random.PRNGKey(0))
+        batch = jax.eval_shape(
+            lambda c=cfg: make_batch(c, num_images=1, rows_per_image=1,
+                                     text_len=32))
+        out = jax.eval_shape(
+            lambda p, b, c=cfg: llmseg.predict(p, c, b), params, batch)
+        K = cfg.max_proposals
+        assert out["pred_similarity"].shape == (1, K), name
+        assert out["pred_iou"].shape == (1, K), name
