@@ -101,13 +101,20 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs, causal, scale,
     if causal:
         hi = jax.lax.div(qi * block_q + block_q + block_k - 1, block_k)
         hi = jnp.minimum(hi, num_k_blocks)
+        # k-blocks entirely below the diagonal AND inside s_real need no mask
+        full_hi = jnp.minimum(jax.lax.div(qi * block_q, block_k),
+                              s_real // block_k)
     else:
         hi = num_k_blocks
+        full_hi = jnp.minimum(s_real // block_k, num_k_blocks)
 
     row_ids = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
 
-    def body(kj, carry):
+    def body(kj, carry, masked):
+        # masked=False skips the iota/compare/where work on the VPU — the
+        # kernel is VPU-bound (softmax + masking), not MXU-bound, at small
+        # head_dim, so skipping the mask on interior blocks is a real win
         m, l, acc = carry
         kblk = k_ref[0, pl.ds(kj * block_k, block_k), :]
         vblk = v_ref[0, pl.ds(kj * block_k, block_k), :]
@@ -118,12 +125,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs, causal, scale,
         if has_bias:
             s = s + bias_ref[0, :, pl.ds(kj * block_k, block_k)].astype(
                 jnp.float32)
-        col_ids = kj * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = col_ids < s_real
-        if causal:
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            col_ids = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col_ids < s_real
+            if causal:
+                mask = jnp.logical_and(mask, col_ids <= row_ids)
+            s = jnp.where(mask, s, NEG_INF)
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new)
@@ -133,7 +141,10 @@ def _fwd_kernel(q_ref, k_ref, v_ref, *refs, causal, scale,
             precision=_prec(vblk))
         return m_new, l_new, acc_new
 
-    m, l, acc = jax.lax.fori_loop(0, hi, body, (m, l, acc))
+    m, l, acc = jax.lax.fori_loop(
+        0, full_hi, functools.partial(body, masked=False), (m, l, acc))
+    m, l, acc = jax.lax.fori_loop(
+        full_hi, hi, functools.partial(body, masked=True), (m, l, acc))
     l_safe = jnp.where(l == 0.0, 1.0, l)
     o_ref[0] = (acc / l_safe).astype(o_ref.dtype)
     if lse_ref is not None:
