@@ -8,8 +8,8 @@
 
 One functional implementation, configured by ViTConfig flags.  TPU notes:
 tokens stay (B, T, D) with the CLS token at index 0; attention via the shared
-ops.attention entry (XLA path — T<=4097 and these towers are frozen, so
-bias-free fused attention is already MXU-bound).
+ops.attention entry (the Pallas flash kernel on TPU — at DINOv2@896's 4097
+tokens it is ~5.5x faster than XLA fused attention; XLA on CPU/tests).
 """
 
 from __future__ import annotations

@@ -232,24 +232,28 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, *,
     if causal:
         hi = jax.lax.div(qi * block_q + block_q + block_k - 1, block_k)
         hi = jnp.minimum(hi, num_k_blocks)
+        full_hi = jnp.minimum(jax.lax.div(qi * block_q, block_k),
+                              s_real // block_k)
     else:
         hi = num_k_blocks
+        full_hi = jnp.minimum(s_real // block_k, num_k_blocks)
 
     row_ids = qi * block_q + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 0)
 
-    def body(kj, dq):
+    def body(kj, dq, masked):
         kblk = k_ref[0, pl.ds(kj * block_k, block_k), :]
         vblk = v_ref[0, pl.ds(kj * block_k, block_k), :]
         s = jax.lax.dot_general(q, kblk, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(q)) * scale
-        col_ids = kj * block_k + jax.lax.broadcasted_iota(
-            jnp.int32, (block_q, block_k), 1)
-        mask = col_ids < s_real
-        if causal:
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            col_ids = kj * block_k + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 1)
+            mask = col_ids < s_real
+            if causal:
+                mask = jnp.logical_and(mask, col_ids <= row_ids)
+            s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse)
         dp = jax.lax.dot_general(do, vblk, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
@@ -259,7 +263,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref, dq_ref, *,
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(kblk))
 
-    dq = jax.lax.fori_loop(0, hi, body, dq)
+    dq = jax.lax.fori_loop(0, full_hi,
+                           functools.partial(body, masked=False), dq)
+    dq = jax.lax.fori_loop(full_hi, hi,
+                           functools.partial(body, masked=True), dq)
     dq_ref[0] = (dq * scale).astype(dq_ref.dtype)
 
 
@@ -276,11 +283,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         lo = jax.lax.div(kj * block_k, block_q)
     else:
         lo = 0
+    # q-blocks needing no mask: the whole k-block lies inside s_real and
+    # (causal) every row of the q-block is at/after the k-block's last column
+    inside = (kj * block_k + block_k) <= s_real
+    if causal:
+        mlo = jax.lax.div(kj * block_k + block_k - 1 + block_q - 1, block_q)
+        mlo = jnp.maximum(mlo, lo)
+    else:
+        mlo = lo
+    mlo = jnp.where(inside, mlo, num_q_blocks)
 
     col_ids = kj * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (block_q, block_k), 1)
 
-    def body(qi, carry):
+    def body(qi, carry, masked):
         dk, dv = carry
         qblk = q_ref[0, pl.ds(qi * block_q, block_q), :]
         oblk = o_ref[0, pl.ds(qi * block_q, block_q), :].astype(jnp.float32)
@@ -291,12 +307,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
         s = jax.lax.dot_general(qblk, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
                                 precision=_prec(qblk)) * scale
-        mask = col_ids < s_real
-        if causal:
-            row_ids = qi * block_q + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, block_k), 0)
-            mask = jnp.logical_and(mask, col_ids <= row_ids)
-        s = jnp.where(mask, s, NEG_INF)
+        if masked:
+            mask = col_ids < s_real
+            if causal:
+                row_ids = qi * block_q + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 0)
+                mask = jnp.logical_and(mask, col_ids <= row_ids)
+            s = jnp.where(mask, s, NEG_INF)
         p = jnp.exp(s - lse)                                 # (Bq, Bk)
         pc = p.astype(doblk.dtype)
         dv = dv + jax.lax.dot_general(pc, doblk, (((0,), (0,)), ((), ())),
@@ -311,7 +328,11 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, o_ref, do_ref, lse_ref,
                                       precision=_prec(qblk))
         return dk, dv
 
-    dk, dv = jax.lax.fori_loop(lo, num_q_blocks, body, (dk, dv))
+    dk, dv = jax.lax.fori_loop(lo, mlo, functools.partial(body, masked=True),
+                               (dk, dv))
+    dk, dv = jax.lax.fori_loop(mlo, num_q_blocks,
+                               functools.partial(body, masked=False),
+                               (dk, dv))
     dk_ref[0] = (dk * scale).astype(dk_ref.dtype)
     dv_ref[0] = dv.astype(dv_ref.dtype)
 
