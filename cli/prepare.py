@@ -97,22 +97,39 @@ def main(argv=None):
 
     results = []
     t0 = time.time()
-    for i, path in enumerate(files):
+    # 1-deep pipeline: submit image i+1's device work before finishing
+    # image i, so i's host transfers + RLE encode overlap i+1's encoder run
+    # (the reference loop is strictly serial, prepare_ReasonSeg.py:72-116)
+    pending = None
+    n_done = 0
+
+    def _drain(pending):
+        nonlocal n_done
+        rel, shape, handle = pending
+        results.append({
+            "image": rel,
+            "target_size": [shape[0], shape[1]],
+            "masks": gen.finish(handle),
+        })
+        n_done += 1
+        if n_done % 10 == 0:
+            dt = (time.time() - t0) / n_done
+            print(f"{n_done}/{len(files)} images, {dt:.2f}s/image",
+                  flush=True)
+
+    for path in files:
         img = cv2.imread(path)
         if img is None:
             print(f"skip unreadable {path}")
             continue
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         img = preprocess_image(img, max_side)
-        anns = gen.generate(img)
-        results.append({
-            "image": os.path.relpath(path, args.image_dir),
-            "target_size": [img.shape[0], img.shape[1]],
-            "masks": anns,
-        })
-        if (i + 1) % 10 == 0:
-            dt = (time.time() - t0) / (i + 1)
-            print(f"{i + 1}/{len(files)} images, {dt:.2f}s/image", flush=True)
+        handle = gen.submit(img)
+        if pending is not None:
+            _drain(pending)
+        pending = (os.path.relpath(path, args.image_dir), img.shape, handle)
+    if pending is not None:
+        _drain(pending)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)), exist_ok=True)
     with open(args.output, "w") as f:

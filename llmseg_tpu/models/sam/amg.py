@@ -162,6 +162,15 @@ class AutomaticMaskGenerator:
         (already resized by the caller, as in prepare_ReasonSeg.py:32-40).
         Returns reference-schema annotation dicts sorted by area desc.
         """
+        return self.finish(self.submit(image))
+
+    def submit(self, image: np.ndarray) -> Dict:
+        """Enqueue the device work (encode + select) WITHOUT blocking.
+
+        JAX dispatch is async: callers can submit image i+1 before finishing
+        image i, overlapping i's host transfers + RLE encode with i+1's
+        device compute (cli/prepare.py does this — the reference processes
+        strictly serially, prepare_ReasonSeg.py:72-116)."""
         h, w = image.shape[:2]
         assert max(h, w) <= self.cfg.encoder.img_size, (
             f"image {h}x{w} exceeds SAM input {self.cfg.encoder.img_size}; "
@@ -179,6 +188,14 @@ class AutomaticMaskGenerator:
         points = jnp.asarray(self._grid * np.array([w, h]), jnp.float32)
         out = amg_select(self.params, self.cfg, self.amg, emb, points,
                          jnp.asarray([h, w], jnp.int32), points.shape[0])
+        return {"out": out, "hw": (h, w)}
+
+    def finish(self, handle: Dict) -> List[Dict]:
+        """Pull the device results of a submit() and finish on host
+        (upscale survivor masks, RLE encode, schema assembly)."""
+        out = handle["out"]
+        h, w = handle["hw"]
+        s_in = self.cfg.encoder.img_size
         # ONE host transfer for all the small outputs
         small = jax.device_get({k: out[k] for k in
                                 ("valid", "iou", "stability", "boxes",
