@@ -108,13 +108,28 @@ def _install_torchvision() -> None:
 
 
 def _install_skimage() -> None:
+    import numpy as np
+
     _mkpkg("skimage")
     _mkpkg("skimage.io")
     tr = _mkpkg("skimage.transform")
 
-    def resize(*a, **k):
-        raise NotImplementedError(
-            "skimage stub: parity tests must not reach skimage.resize")
+    def resize(image, output_shape, *, order=None, anti_aliasing=None,
+               preserve_range=False, **k):
+        """Order-0 (nearest) only — the one mode the reference's metric
+        helpers use (utils/utils.py:240,258: order=0, anti_aliasing=False,
+        preserve_range=True).  Half-pixel-center mapping with
+        round-half-even, skimage's nearest convention."""
+        if order != 0 or anti_aliasing:
+            raise NotImplementedError(
+                "skimage stub resize supports order=0, no anti-aliasing")
+        H, W = output_shape[:2]
+        h, w = image.shape[:2]
+        rows = np.clip(np.rint((np.arange(H) + 0.5) * h / H - 0.5)
+                       .astype(int), 0, h - 1)
+        cols = np.clip(np.rint((np.arange(W) + 0.5) * w / W - 0.5)
+                       .astype(int), 0, w - 1)
+        return image[rows[:, None], cols[None, :]]
 
     tr.resize = resize
 
