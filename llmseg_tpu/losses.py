@@ -68,16 +68,21 @@ def sigmoid_align_loss(proposal_embeds: jnp.ndarray, target_embed: jnp.ndarray,
                        bias: jnp.ndarray,
                        valid: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """SigLIP-style pairwise sigmoid alignment (reference loss.py:97-129 —
-    retained for parity; unused by the default forward)."""
+    retained for parity; unused by the default forward).
+
+    Matches the reference exactly: the learnable `temperature` is a LOG
+    scale (logits use exp(temperature)), and the loss is
+    -log(sigmoid(z * logits) + 1e-8) — the epsilon floors each element at
+    -log(1e-8) ~= 18.42 instead of growing linearly."""
     p = proposal_embeds.astype(jnp.float32)
     t = target_embed.reshape(-1).astype(jnp.float32)
     p = p / (jnp.linalg.norm(p, axis=-1, keepdims=True) + 1e-8)
     t = t / (jnp.linalg.norm(t) + 1e-8)
     sim = p @ t
-    logits = sim * temperature + bias
+    logits = sim * jnp.exp(temperature) + bias
     # soft labels in [-1, 1]: 2*iou - 1
     z = 2.0 * gt_ious.astype(jnp.float32) - 1.0
-    loss = -jax.nn.log_sigmoid(z * logits)
+    loss = -jnp.log(jax.nn.sigmoid(z * logits) + 1e-8)
     if valid is not None:
         loss = jnp.where(valid, loss, 0.0)
     return jnp.sum(loss)
