@@ -116,8 +116,10 @@ def run_validation(eval_step: Callable, params, batches: Iterable,
 
     selector = SELECTORS[strategy]
     acc = SegEvalAccumulator()
-    for batch, extras in batches:
-        out = eval_step(params, batch)
+
+    def _finish(out, extras):
+        # pulling the arrays is the device sync point — by the time sample
+        # i is pulled here, sample i+1's forward is already enqueued below
         sim = np.asarray(out["pred_similarity"])[0]
         iou = np.asarray(out["pred_iou"])[0]
         valid = np.asarray(out["prop_valid"])[0]
@@ -131,6 +133,18 @@ def run_validation(eval_step: Callable, params, batches: Iterable,
         acc.add(pred, gt)
         if visualize_dir:
             _dump_visualization(visualize_dir, extras, pred, gt, sim, iou)
+
+    # 1-deep pipeline: JAX dispatch is async, so enqueue the next sample's
+    # forward before doing sample i's host work (mask compose + IoU) — the
+    # reference eval loop is strictly serial (training.py:690-870)
+    pending = None
+    for batch, extras in batches:
+        out = eval_step(params, batch)
+        if pending is not None:
+            _finish(*pending)
+        pending = (out, extras)
+    if pending is not None:
+        _finish(*pending)
     return acc.result()
 
 
