@@ -79,3 +79,30 @@ def test_export_mask_input_blend(tiny_sam):
               jnp.asarray(mask_in), jnp.asarray(1.0))[0]
     # has_mask_input toggles the dense path: outputs must differ
     assert float(jnp.max(jnp.abs(out0 - out1))) > 1e-6
+
+
+def test_serving_export_roundtrip(tmp_path):
+    """Full LLM-Seg predict program: serialize -> load -> call matches the
+    in-process model."""
+    import jax
+
+    from llmseg_tpu import config as C, serving
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg = C.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    path = str(tmp_path / "predict.stablehlo")
+    serving.save_predict(path, params, cfg, num_images=1, rows=1,
+                         text_len=32, dtype=jnp.float32)
+    served = serving.load_predict(path)
+    # exported signature excludes host-only keys (labels/gt) — match it
+    shapes = serving.predict_arg_shapes(cfg, num_images=1, rows=1,
+                                        text_len=32, dtype=jnp.float32)
+    got = served({k: batch[k] for k in shapes})
+    ref = llmseg.predict(params, cfg, batch)
+    np.testing.assert_allclose(np.asarray(got["pred_similarity"]),
+                               np.asarray(ref["pred_similarity"]), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got["pred_iou"]),
+                               np.asarray(ref["pred_iou"]), atol=2e-5)
