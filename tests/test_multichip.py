@@ -114,3 +114,32 @@ def test_one_hot_embed_matches_gather():
     g = llama.embed(params, ids, one_hot=False)
     o = llama.embed(params, ids, one_hot=True)
     np.testing.assert_allclose(np.asarray(g), np.asarray(o), atol=1e-6)
+
+
+@pytest.mark.slow
+def test_trainer_on_mesh():
+    """The full Trainer (not just the step) on a dp=2 x tp=2 mesh: epoch of
+    steps with grad accumulation, metrics finite, params stay sharded."""
+    import tempfile
+
+    cfg = C.ExperimentConfig(
+        model=C.llmseg_tiny(),
+        train=C.TrainConfig(grad_accum_steps=1, epochs=1, steps_per_epoch=2,
+                            warmup_steps=1, log_dir=tempfile.mkdtemp(),
+                            mesh=C.MeshConfig(data=2, fsdp=1, tensor=2),
+                            precision="fp32",
+                            lora=C.LoraConfig(rank=4)))
+    from llmseg_tpu.train.trainer import Trainer
+
+    tr = Trainer(cfg)
+
+    def batches():
+        for i in range(2):
+            yield make_batch(cfg.model, num_images=2, rows_per_image=1,
+                             text_len=32, seed=i), None
+
+    with tr.mesh:
+        metrics = tr.train_epoch(batches(), epoch=0)
+    assert np.isfinite(metrics["loss"])
+    emb = tr.trainable["llava/llm/embed_tokens"]
+    assert emb.sharding.spec == P("tp", "fsdp"), emb.sharding.spec

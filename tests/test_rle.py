@@ -119,3 +119,30 @@ def test_rle_fuzz_vs_pycocotools():
         assert rle.area(ours) == int(mask_util.area(ref))
         np.testing.assert_allclose(rle.to_bbox(ours),
                                    mask_util.toBbox(ref))
+
+
+def test_polygon_raster_vs_pycocotools():
+    """Polygon -> mask (coco_api.ann_to_rle cv2.fillPoly path) vs
+    pycocotools.frPyObjects scanline rasterization.  Boundary pixels can
+    legitimately differ by the two rasterizers' fill conventions; require
+    IoU > 0.97 rather than equality.  Skips where pycocotools is absent."""
+    mask_util = pytest.importorskip("pycocotools.mask")
+    from llmseg_tpu.data import coco_api
+
+    rng = np.random.RandomState(0)
+    for i in range(20):
+        h, w = 50, 60
+        n = rng.randint(3, 8)
+        cx, cy = rng.rand(2) * [w * 0.6, h * 0.6] + [w * 0.2, h * 0.2]
+        ang = np.sort(rng.rand(n) * 2 * np.pi)
+        r = rng.rand(n) * 15 + 4
+        xs = np.clip(cx + r * np.cos(ang), 0, w - 1)
+        ys = np.clip(cy + r * np.sin(ang), 0, h - 1)
+        poly = np.stack([xs, ys], -1).reshape(-1).tolist()
+        ref = mask_util.decode(mask_util.merge(
+            mask_util.frPyObjects([poly], h, w)))
+        got = rle.decode(coco_api.ann_to_rle(
+            {"segmentation": [poly]}, h, w))
+        inter = np.logical_and(ref, got).sum()
+        union = np.logical_or(ref, got).sum()
+        assert union == 0 or inter / union > 0.97, f"case {i}"
