@@ -115,11 +115,21 @@ def to_config(args) -> C.ExperimentConfig:
         explanatory=args.explanatory,
         num_classes_per_sample=args.num_classes_per_sample,
         image_size=args.image_size, model_max_length=args.model_max_length,
+        clip_image_size=model.llava.vision.img_size,   # follows the preset
         num_workers=args.workers, exclude_val=args.exclude_val)
+    # --batch_size is PER data-parallel device (the reference's deepspeed
+    # semantics: batch 1/GPU, training.py:73-85); the global batch the
+    # train step sees scales with the data axes of the mesh
+    import jax as _jax
+
+    n_dev = len(_jax.devices())
+    dp = args.mesh_dp if args.mesh_dp > 0 else max(
+        n_dev // (max(args.mesh_fsdp, 1) * max(args.mesh_tp, 1)), 1)
+    global_batch = args.batch_size * dp * max(args.mesh_fsdp, 1)
     train = C.TrainConfig(
         lr=args.lr, beta1=args.beta1, beta2=args.beta2,
         warmup_steps=args.warmup_steps, epochs=args.epochs,
-        steps_per_epoch=args.steps_per_epoch, batch_size=args.batch_size,
+        steps_per_epoch=args.steps_per_epoch, batch_size=global_batch,
         grad_accum_steps=args.grad_accumulation_steps,
         grad_clip=args.grad_clip, precision=args.precision,
         quantize_frozen=args.quantize_frozen,
@@ -186,7 +196,8 @@ def build_train_dataset(args, cfg: C.ExperimentConfig, readers_cache: Dict):
                   * cfg.train.batch_size * cfg.train.grad_accum_steps,
                   num_classes_per_sample=cfg.data.num_classes_per_sample,
                   image_size=cfg.data.image_size,
-                  clip_size=cfg.data.clip_image_size, seed=cfg.train.seed,
+                  clip_size=cfg.data.clip_image_size,
+                  seg_grid=cfg.model.seg_grid, seed=cfg.train.seed,
                   conv_type=args.conv_type)
     parts = []
     for name in cfg.data.dataset.split("||"):
@@ -233,6 +244,7 @@ def build_val_dataset(args, cfg: C.ExperimentConfig, readers_cache: Dict):
 
     common = dict(image_size=cfg.data.image_size,
                   clip_size=cfg.data.clip_image_size,
+                  seg_grid=cfg.model.seg_grid,
                   conv_type=args.conv_type)
     if cfg.data.val_dataset.startswith("ReasonSeg"):
         return D.ValReasonSegDataset(cfg.data.dataset_dir,

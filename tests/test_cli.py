@@ -94,3 +94,67 @@ def test_apply_overrides():
     assert cfg2.train.lr == 5e-5
     assert cfg2.model.max_proposals == 32
     assert cfg.train.lr == 1e-4  # original untouched (frozen dataclasses)
+
+
+@pytest.mark.slow
+def test_train_cli_end_to_end(tmp_path):
+    """cli.train main(): args -> config -> datasets -> Trainer -> epoch +
+    eval + best checkpoint, on a synthetic ReasonSeg corpus (covers the T1
+    user surface, reference scripts/train_10epoch.sh)."""
+    import cv2
+    import json as json_lib
+
+    from llmseg_tpu.ops import rle as rle_lib
+
+    rng = np.random.RandomState(0)
+    dataset_dir = tmp_path / "dataset"
+    masks_dir = tmp_path / "sam_masks"
+    masks_dir.mkdir()
+    h, w = 60, 80
+    for split in ("train", "val"):
+        d = dataset_dir / "reason_seg" / "ReasonSeg" / split
+        d.mkdir(parents=True)
+        doc = []
+        for i in range(2):
+            name = f"img{i}.jpg"
+            cv2.imwrite(str(d / name),
+                        rng.randint(0, 255, (h, w, 3), np.uint8))
+            (d / f"img{i}.json").write_text(json_lib.dumps({
+                "shapes": [{"label": "target",
+                            "points": [[5, 5], [30, 5], [30, 30], [5, 30]]}],
+                "text": [f"the thing {i}"], "is_sentence": False}))
+            masks = []
+            for _ in range(3):
+                m = np.zeros((h, w), np.uint8)
+                y, x = rng.randint(0, h - 10), rng.randint(0, w - 10)
+                m[y:y + 10, x:x + 10] = 1
+                masks.append({"segmentation": rle_lib.encode(m),
+                              "area": int(m.sum()),
+                              "bbox": [float(x), float(y), 9.0, 9.0],
+                              "predicted_iou": 0.9, "stability_score": 0.97,
+                              "point_coords": [[1.0, 1.0]],
+                              "crop_box": [0, 0, w, h]})
+            doc.append({"image": name, "target_size": [h, w],
+                        "masks": masks})
+        (masks_dir / f"ReasonSeg_{split}_masks.json").write_text(
+            json_lib.dumps(doc))
+
+    from cli import train as train_cli
+
+    log_dir = tmp_path / "runs"
+    argv = ["--model_size", "tiny", "--precision", "fp32",
+            "--dataset", "reason_seg", "--sample_rates", "1",
+            "--dataset_dir", str(dataset_dir),
+            "--sam_masks_dir", str(masks_dir),
+            "--epochs", "1", "--steps_per_epoch", "2",
+            "--grad_accumulation_steps", "1", "--warmup_steps", "1",
+            "--num_classes_per_sample", "1",
+            "--image_size", "56", "--model_max_length", "512",
+            "--log_base_dir", str(log_dir), "--exp_name", "smoke"]
+    train_cli.main(argv)
+    run_dir = log_dir / "smoke"
+    assert (run_dir / "ckpt").exists() or (run_dir / "best_meta.json").exists()
+
+    # eval-only path on the checkpoint we just produced (T3-style)
+    res = train_cli.main(argv + ["--eval_only", "--auto_resume"])
+    assert res is not None and "giou" in res
