@@ -146,6 +146,22 @@ def to_config(args) -> C.ExperimentConfig:
     return C.ExperimentConfig(model=model, data=data, train=train)
 
 
+def align_model_to_tokenizer(cfg: C.ExperimentConfig,
+                             tokenizer) -> C.ExperimentConfig:
+    """Set the model's [SEG] id from the tokenizer and grow the LLM vocab to
+    cover every tokenizer id (the reference's seg_token_idx lookup +
+    resize_token_embeddings, training.py:121-137,229)."""
+    from llmseg_tpu.data.tokenizer import seg_token_id
+
+    sid = seg_token_id(tokenizer)
+    llm = dataclasses.replace(
+        cfg.model.llava.llm,
+        vocab_size=max(cfg.model.llava.llm.vocab_size, tokenizer.vocab_size))
+    llava = dataclasses.replace(cfg.model.llava, llm=llm)
+    model = dataclasses.replace(cfg.model, llava=llava, seg_token_id=sid)
+    return dataclasses.replace(cfg, model=model)
+
+
 def build_tokenizer(args, cfg: C.ExperimentConfig):
     from llmseg_tpu.data.tokenizer import ByteTokenizer, HFTokenizer
 

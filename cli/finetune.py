@@ -31,6 +31,7 @@ def main(argv=None):
     lora_cfg = cfg.train.lora
 
     tokenizer = common.build_tokenizer(args, cfg)
+    cfg = common.align_model_to_tokenizer(cfg, tokenizer)
     readers = {}
     paths = common.mask_reader_paths(cfg)
 
@@ -40,7 +41,9 @@ def main(argv=None):
         os.path.join(cfg.data.dataset_dir, "ego_objects/images"),
         common.load_reader(paths, "llmseg40k_train"),
         common.load_reader(paths, "egoobjects"),
-        image_size=cfg.data.image_size, seed=cfg.train.seed,
+        image_size=cfg.data.image_size,
+        clip_size=cfg.data.clip_image_size,
+        seg_grid=cfg.model.seg_grid, seed=cfg.train.seed,
         conv_type=args.conv_type)
     val_ds = None if cfg.train.no_eval else common.build_val_dataset(
         args, cfg, readers)

@@ -25,8 +25,10 @@ def main(argv=None):
     lora_cfg = cfg.train.lora
 
     tokenizer = common.build_tokenizer(args, cfg)
+    cfg = common.align_model_to_tokenizer(cfg, tokenizer)
     readers = {}
-    train_ds = common.build_train_dataset(args, cfg, readers)
+    train_ds = None if args.eval_only else common.build_train_dataset(
+        args, cfg, readers)
     val_ds = None if cfg.train.no_eval else common.build_val_dataset(
         args, cfg, readers)
 

@@ -158,3 +158,76 @@ def test_train_cli_end_to_end(tmp_path):
     # eval-only path on the checkpoint we just produced (T3-style)
     res = train_cli.main(argv + ["--eval_only", "--auto_resume"])
     assert res is not None and "giou" in res
+
+
+@pytest.mark.slow
+def test_finetune_and_validate_cli(tmp_path):
+    """cli.finetune (stage-2 on LLM-Seg40K, weights-only resume) and
+    cli.validate (eval-only wrapper) on a synthetic corpus (T2 + T3 user
+    surfaces, reference scripts/finetune_llmseg.sh + validate_llmseg40k.sh)."""
+    import cv2
+    import json as json_lib
+
+    from llmseg_tpu.ops import rle as rle_lib
+
+    rng = np.random.RandomState(0)
+    dataset_dir = tmp_path / "dataset"
+    masks_dir = tmp_path / "sam_masks"
+    masks_dir.mkdir()
+    coco = dataset_dir / "coco" / "train2017"
+    coco.mkdir(parents=True)
+    ego = dataset_dir / "ego_objects" / "images"
+    ego.mkdir(parents=True)
+    (dataset_dir / "llm_seg").mkdir()
+    h, w = 60, 80
+    gt = np.zeros((h, w), np.uint8)
+    gt[10:30, 10:40] = 1
+    names = ["c1.jpg", "c2.jpg"]
+    for n in names:
+        cv2.imwrite(str(coco / n), rng.randint(0, 255, (h, w, 3), np.uint8))
+    doc = {n: {"from_dataset": "coco", "qa_pairs": [
+        {"question": "What can we use to cut?",
+         "answer": "The knife [SEG].",
+         "rle_seg": rle_lib.encode(gt)}]} for n in names}
+    (dataset_dir / "llm_seg" / "train.json").write_text(json_lib.dumps(doc))
+    (dataset_dir / "llm_seg" / "validation.json").write_text(
+        json_lib.dumps(doc))
+
+    def masks_json(path):
+        out = []
+        for n in names:
+            masks = []
+            for _ in range(3):
+                m = np.zeros((h, w), np.uint8)
+                y, x = rng.randint(0, h - 10), rng.randint(0, w - 10)
+                m[y:y + 10, x:x + 10] = 1
+                masks.append({"segmentation": rle_lib.encode(m),
+                              "area": int(m.sum()),
+                              "bbox": [float(x), float(y), 9.0, 9.0],
+                              "predicted_iou": 0.9, "stability_score": 0.97,
+                              "point_coords": [[1.0, 1.0]],
+                              "crop_box": [0, 0, w, h]})
+            out.append({"image": n, "target_size": [h, w], "masks": masks})
+        path.write_text(json_lib.dumps(out))
+
+    for key in ("llmseg40k_train_masks", "llmseg40k_val_masks",
+                "egoobjects_masks"):
+        masks_json(masks_dir / f"{key}.json")
+
+    from cli import finetune as ft_cli
+    from cli import validate as val_cli
+
+    log_dir = tmp_path / "runs"
+    base = ["--model_size", "tiny", "--precision", "fp32",
+            "--dataset_dir", str(dataset_dir),
+            "--sam_masks_dir", str(masks_dir),
+            "--epochs", "1", "--steps_per_epoch", "2",
+            "--grad_accumulation_steps", "1", "--warmup_steps", "1",
+            "--image_size", "56", "--model_max_length", "512",
+            "--log_base_dir", str(log_dir), "--exp_name", "ft"]
+    ft_cli.main(base)
+    assert (log_dir / "ft").exists()
+
+    res = val_cli.main(base + ["--dataset", "reason_seg",
+                               "--val_dataset", "LLMSeg|val"])
+    assert res is not None and "giou" in res
