@@ -442,6 +442,15 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
     scale = (1.0 / math.sqrt(D)) if scale is None else scale
     block_q = min(block_q, _round_up(T, 128))
     block_k = min(block_k, _round_up(S, 128))
+    if not causal and S <= 4608:
+        # single k-block: the whole key row in one iteration drops the
+        # running-max bookkeeping (one rescale instead of S/block_k) —
+        # measured 6% faster at the DINOv2@896 shape.  Causal keeps small
+        # blocks: the per-block diagonal clamp skips ~half the work.
+        # s-tile VMEM budget: block_q * Sp * 4B <= ~5MB.
+        block_k = _round_up(S, 128)
+        budget_q = max((5_000_000 // (4 * block_k)) // 128 * 128, 128)
+        block_q = min(block_q, budget_q)
     Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
     Dp = _round_up(D, 128)
 
