@@ -231,3 +231,77 @@ def test_finetune_and_validate_cli(tmp_path):
     res = val_cli.main(base + ["--dataset", "reason_seg",
                                "--val_dataset", "LLMSeg|val"])
     assert res is not None and "giou" in res
+
+
+@pytest.mark.slow
+def test_train_cli_with_hf_weights(tmp_path):
+    """The real user path: cli.train --version <HF LLaVA dir> — HF fast
+    tokenizer, imported LLaMA+projector weights, [SEG] vocab growth
+    (reference README weight-acquisition flow)."""
+    import cv2
+    import json as json_lib
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tok_utils import add_tiny_llava_weights, build_tiny_fast_tokenizer
+
+    from llmseg_tpu.data import conversation as conv_lib
+    from llmseg_tpu.ops import rle as rle_lib
+
+    # HF dir: tokenizer trained on the llava_v1 prompt + tiny LLaMA weights
+    conv = conv_lib.conv_templates["llava_v1"].copy()
+    conv.append_message(conv.roles[0], "<image>\nWhat is the thing 0?")
+    conv.append_message(conv.roles[1], "It is [SEG].")
+    hf_dir = str(tmp_path / "llava")
+    build_tiny_fast_tokenizer(hf_dir, [conv.get_prompt(), "the thing 1"])
+    add_tiny_llava_weights(hf_dir, vocab_size=620)
+
+    rng = np.random.RandomState(0)
+    dataset_dir = tmp_path / "dataset"
+    masks_dir = tmp_path / "sam_masks"
+    masks_dir.mkdir()
+    h, w = 60, 80
+    for split in ("train", "val"):
+        d = dataset_dir / "reason_seg" / "ReasonSeg" / split
+        d.mkdir(parents=True)
+        doc = []
+        for i in range(2):
+            name = f"img{i}.jpg"
+            cv2.imwrite(str(d / name),
+                        rng.randint(0, 255, (h, w, 3), np.uint8))
+            (d / f"img{i}.json").write_text(json_lib.dumps({
+                "shapes": [{"label": "target",
+                            "points": [[5, 5], [30, 5], [30, 30], [5, 30]]}],
+                "text": [f"the thing {i}"], "is_sentence": False}))
+            masks = []
+            for _ in range(3):
+                m = np.zeros((h, w), np.uint8)
+                y, x = rng.randint(0, h - 20), rng.randint(0, w - 20)
+                m[y:y + 20, x:x + 20] = 1
+                masks.append(
+                    {"segmentation": rle_lib.encode(m), "area": int(m.sum()),
+                     "bbox": [float(x), float(y), 19.0, 19.0],
+                     "predicted_iou": 0.9, "stability_score": 0.97,
+                     "point_coords": [[1.0, 1.0]],
+                     "crop_box": [0, 0, w, h]})
+            doc.append({"image": name, "target_size": [h, w],
+                        "masks": masks})
+        (masks_dir / f"ReasonSeg_{split}_masks.json").write_text(
+            json_lib.dumps(doc))
+
+    from cli import train as train_cli
+
+    argv = ["--model_size", "tiny", "--precision", "fp32",
+            "--version", hf_dir,
+            "--dataset", "reason_seg", "--sample_rates", "1",
+            "--dataset_dir", str(dataset_dir),
+            "--sam_masks_dir", str(masks_dir),
+            "--epochs", "1", "--steps_per_epoch", "2",
+            "--grad_accumulation_steps", "1", "--warmup_steps", "1",
+            "--num_classes_per_sample", "1",
+            "--image_size", "56", "--model_max_length", "512",
+            "--log_base_dir", str(tmp_path / "runs"),
+            "--exp_name", "hf_smoke", "--no_eval"]
+    train_cli.main(argv)
+    assert (tmp_path / "runs" / "hf_smoke").exists()

@@ -32,27 +32,16 @@ def _two_round_conversation() -> str:
 
 @pytest.fixture(scope="module")
 def hf_tok(tmp_path_factory):
-    from tokenizers import (Tokenizer, decoders, models, pre_tokenizers,
-                            processors, trainers)
-    from transformers import PreTrainedTokenizerFast
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from tok_utils import build_tiny_fast_tokenizer
 
     text = _two_round_conversation()
-    tok = Tokenizer(models.BPE(unk_token="<unk>"))
-    tok.pre_tokenizer = pre_tokenizers.Metaspace(replacement="▁",
-                                                 prepend_scheme="first")
-    tok.decoder = decoders.Metaspace(replacement="▁",
-                                     prepend_scheme="first")
-    trainer = trainers.BpeTrainer(
-        vocab_size=600, special_tokens=["<unk>", "<s>", "</s>"],
-        initial_alphabet=list(set(text)) + ["▁"])
-    tok.train_from_iterator([text, text.replace("</s>", " ")], trainer)
-    tok.post_processor = processors.TemplateProcessing(
-        single="<s> $A", pair="<s> $A $B",
-        special_tokens=[("<s>", tok.token_to_id("<s>"))])
-    fast = PreTrainedTokenizerFast(tokenizer_object=tok, bos_token="<s>",
-                                   eos_token="</s>", unk_token="<unk>")
-    d = str(tmp_path_factory.mktemp("tiny-llama-tok"))
-    fast.save_pretrained(d)
+    d = build_tiny_fast_tokenizer(
+        str(tmp_path_factory.mktemp("tiny-llama-tok")),
+        [text, text.replace("</s>", " ")])
     return HFTokenizer(d, model_max_length=512, use_mm_start_end=False)
 
 
