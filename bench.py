@@ -8,9 +8,12 @@ pooling over K=50 proposals, and the selection head.  SAM proposal generation
 is offline in the reference (prepare_datasets) and is excluded, exactly as in
 reference validate_threshold (training.py:690-870).
 
-Round-2 scope (VERDICT #6): batch sweep {1, 4, 8}, per-tower ms breakdown,
-and vs_baseline = achieved model FLOP/s over the v5e bf16 peak (MFU), all
-logged to stderr; the headline JSON line reports the best sweep point.
+Round-2 scope (VERDICT #6): batch sweep {1, 4} (batch 8 documented OOM —
+see the sweep comment), per-tower ms breakdown, and vs_baseline = achieved
+model FLOP/s over the v5e bf16 peak (MFU), all logged to stderr; the
+headline JSON line reports the best sweep point.  Per-tower timings chain 8
+steps in one program via lax.scan: the remote-TPU tunnel costs ~25 ms per
+executable dispatch, which would otherwise dominate sub-10ms measurements.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -73,6 +76,40 @@ def _timeit(fn, *args, iters=8, repeats=3):
     return min(ts) / iters, compile_s, val
 
 
+def _timeit_scan(fn, args, iters=8, repeats=3):
+    """Chain `iters` invocations of fn(*args, x_i) in ONE device program via
+    lax.scan and time the whole call: the remote tunnel adds ~25 ms of
+    dispatch latency per executable launch, which contaminates per-call
+    timing (a sub-ms kernel 'measures' 25 ms); a scanned chain amortizes it
+    to zero and reports true device time.  fn MUST fold its trailing scalar
+    argument into the computation (it is the scanned xs slice — a runtime
+    value XLA cannot prove loop-invariant, so the body cannot be hoisted)."""
+    import jax
+    import jax.numpy as jnp
+
+    def chained(xs, *a):
+        def body(carry, x):
+            return carry, fn(*a, x)
+        _, outs = jax.lax.scan(body, 0, xs)
+        return outs.sum()
+
+    cf = jax.jit(chained)
+    # xs MUST be a runtime argument: created inside the jit it would be a
+    # compile-time constant, XLA would fold `images + 0`, prove the body
+    # loop-invariant, and hoist the entire model out of the scan (observed:
+    # "397% MFU").
+    xs = jnp.zeros(iters, jnp.float32)
+    t0 = time.perf_counter()
+    val = float(cf(xs, *args))
+    compile_s = time.perf_counter() - t0
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(cf(xs, *args))
+        ts.append(time.perf_counter() - t0)
+    return min(ts) / iters, compile_s, val / iters
+
+
 def run(config_name: str):
     import jax
     import jax.numpy as jnp
@@ -104,12 +141,22 @@ def run(config_name: str):
     flops = model_flops_per_image(cfg, TEXT_LEN)
     log(f"bench: analytic fwd FLOPs/image = {flops / 1e12:.2f} TFLOP")
 
+    # e2e sweep uses plain async-dispatch timing (_timeit): at ~100 ms/step
+    # the ~25 ms host dispatch overlaps device execution across the 8 queued
+    # iterations (<3% inflation), and scan-chaining the FULL 7B model inside
+    # a while loop crashes the remote compile helper.  _timeit_scan is for
+    # the small per-tower programs below, where 25 ms would swamp the signal.
     fn = jax.jit(
         lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"].sum())
 
     # ---- batch sweep ----
+    # batch 8 is omitted for the 7B config: bf16 weights alone are 13.5 GB
+    # of the 16 GB HBM and the batch-8 program fails to compile (verified
+    # 2026-08-16); batch 4 already shows flat img/s vs batch 1, i.e. the
+    # pipeline is compute-bound at batch 1 and latency is the binding
+    # constraint (VERDICT r1 #6).
     results = {}
-    for bsz in (1, 4, 8):
+    for bsz in (1, 4):
         try:
             batch = make_batch(cfg, num_images=bsz, rows_per_image=1,
                                text_len=TEXT_LEN, dtype=dtype)
@@ -133,28 +180,33 @@ def run(config_name: str):
         batch = make_batch(cfg, num_images=1, rows_per_image=1,
                            text_len=TEXT_LEN, dtype=dtype)
         lv = cfg.llava
-        f_dino = jax.jit(lambda p, b: llmseg.dino_features(
-            p, cfg, b["images_dino"]).sum())
-        f_clip = jax.jit(lambda p, b: llava.encode_images(
-            p["llava"], lv, b["images_clip"]).sum())
+        f_dino = lambda p, b, x: llmseg.dino_features(
+            p, cfg, b["images_dino"] + x.astype(dtype)).sum()
+        f_clip = lambda p, b, x: llava.encode_images(
+            p["llava"], lv, b["images_clip"] + x.astype(dtype)).sum()
         img_embeds = jax.jit(lambda p, b: llava.encode_images(
             p["llava"], lv, b["images_clip"]))(params, batch)
-        f_llm = jax.jit(lambda p, b, e: llava.forward(
+        f_llm = lambda p, b, e, x: llava.forward(
             p["llava"], lv, input_ids=b["input_ids"],
-            image_pos=b["image_pos"], image_embeds=e).sum())
+            image_pos=b["image_pos"],
+            image_embeds=e + x.astype(dtype)).sum()
         R, K, D = 1, cfg.max_proposals, cfg.select.dim
         pe = jnp.zeros((R, K, D), dtype)
         te = jnp.zeros((R, D), dtype)
         pv = jnp.ones((R, K), bool)
-        f_head = jax.jit(lambda p: selection_head.apply(
-            p["select"], cfg.select, pe, te, pv)[0].sum())
+        f_head = lambda p, x: selection_head.apply(
+            p["select"], cfg.select, pe + x.astype(dtype), te, pv)[0].sum()
         for name, f, args in (
                 ("dino", f_dino, (params, batch)),
                 ("clip", f_clip, (params, batch)),
                 ("llama", f_llm, (params, batch, img_embeds)),
                 ("select_head", f_head, (params,))):
-            dt, _, _ = _timeit(f, *args, iters=8, repeats=2)
-            log(f"bench: tower {name}: {dt * 1e3:.2f} ms")
+            try:
+                dt, _, _ = _timeit_scan(f, args, iters=8, repeats=2)
+                log(f"bench: tower {name}: {dt * 1e3:.2f} ms")
+            except Exception as e:  # scan-of-tower can OOM at 7B scale
+                log(f"bench: tower {name} failed: {type(e).__name__}: "
+                    f"{str(e)[:120]}")
     except Exception as e:
         log(f"bench: tower breakdown failed: {type(e).__name__}: "
             f"{str(e)[:200]}")

@@ -32,26 +32,30 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from llmseg_tpu.ops.attention import NEG_INF, _interpret, _prec, _round_up
+from llmseg_tpu.ops.attention import (LOG2E, NEG_INF, _interpret, _prec,
+                                      _round_up)
 
 
-def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
+def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *,
             block_q, block_k, grid_g):
     G = grid_g
     m = block_k // G                                       # h' rows per block
     q = q_ref[0]                                           # (Bq, D)
-    rh = rh_ref[0].astype(jnp.float32)                     # (Bq, G)
-    rw = rw_ref[0].astype(jnp.float32)                     # (Bq, G)
+    # rh/rw arrive in q's dtype and the selection dots run at _prec(q), the
+    # same convention as the QK/PV dots: exact fp32 in tests, single-pass
+    # bf16 in production (fp32 HIGHEST here would cost 6 MXU passes per dot).
+    rh = rh_ref[0]                                         # (Bq, G)
+    rw = rw_ref[0]                                         # (Bq, G)
     m_i = jnp.full((block_q, 1), NEG_INF, jnp.float32)
     l_i = jnp.zeros((block_q, 1), jnp.float32)
     acc = jnp.zeros((block_q, q.shape[-1]), jnp.float32)
 
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (G, block_k), 1)
-    tile_mat = (row_ids == col_ids % G).astype(jnp.float32)    # static
+    tile_mat = (row_ids == col_ids % G).astype(rw.dtype)       # static
     rw_tiled = jax.lax.dot(rw, tile_mat,
                            preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)  # (Bq, Bk)
+                           precision=_prec(rw))                # (Bq, Bk)
 
     def body(kj, carry):
         m_i, l_i, acc = carry
@@ -60,14 +64,14 @@ def _kernel(q_ref, k_ref, v_ref, rh_ref, rw_ref, o_ref, *, scale,
         s = jax.lax.dot_general(
             q, kblk, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=_prec(q)) * scale                    # (Bq, Bk)
-        sel = (row_ids == kj * m + col_ids // G).astype(jnp.float32)
+            precision=_prec(q))            # (Bq, Bk) log2 (q pre-scaled)
+        sel = (row_ids == kj * m + col_ids // G).astype(rh.dtype)
         s = s + jax.lax.dot(rh, sel,
                             preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST) + rw_tiled
+                            precision=_prec(rh)) + rw_tiled
         m_new = jnp.maximum(m_i, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_i - m_new)
-        p = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_i - m_new)
+        p = jnp.exp2(s - m_new)
         l_new = l_i * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_new = acc * alpha + jax.lax.dot(
             p.astype(vblk.dtype), vblk, preferred_element_type=jnp.float32,
@@ -102,8 +106,12 @@ def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
                     preferred_element_type=jnp.float32)
     rw = jnp.einsum("bhwnd,wkd->bnhwk", qg, Rw.astype(q.dtype),
                     preferred_element_type=jnp.float32)
-    rh = rh.reshape(B * H, T, G)
-    rw = rw.reshape(B * H, T, G)
+    # logits live in the exp2 domain inside the kernel (see ops/attention.py
+    # LOG2E note); the additive bias tables pick up the log2(e) factor here,
+    # outside the hot loop, and are handed to the kernel in q's dtype so the
+    # in-kernel selection dots run at the main dots' precision
+    rh = (rh.reshape(B * H, T, G) * LOG2E).astype(q.dtype)
+    rw = (rw.reshape(B * H, T, G) * LOG2E).astype(q.dtype)
 
     block_q = min(block_q, T)
     block_k = min(block_k, T)
@@ -115,9 +123,12 @@ def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
         return x.transpose(0, 2, 1, 3).reshape(B * H, T, Dp)
 
-    qf, kf, vf = _prep(q), _prep(k), _prep(v)
+    # scale*log2(e) folds into q AFTER rh/rw were taken from the unscaled q
+    # (reference adds the bias to scaled logits, image_encoder.py:253-255)
+    qs = q * jnp.asarray(scale * LOG2E, q.dtype)
+    qf, kf, vf = _prep(qs), _prep(k), _prep(v)
 
-    kern = functools.partial(_kernel, scale=scale, block_q=block_q,
+    kern = functools.partial(_kernel, block_q=block_q,
                              block_k=block_k, grid_g=G)
     o = pl.pallas_call(
         kern,
