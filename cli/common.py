@@ -23,6 +23,11 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--resume_ckpt", default="", help="llmseg DeepSpeed/.pt checkpoint to import")
     p.add_argument("--model_size", default="7b", choices=["7b", "small", "tiny"])
     p.add_argument("--precision", default="bf16", choices=["fp32", "bf16"])
+    p.add_argument("--remat_policy", default="dots",
+                   choices=["dots", "full", "none"],
+                   help="LLaMA gradient-checkpoint policy: dots keeps "
+                        "matmul outputs (faster), full recomputes all "
+                        "(least memory), none disables remat")
     p.add_argument("--quantize_frozen", action="store_true",
                    help="QLoRA layout: int8 frozen LLM base (fits 7B "
                         "training on one 16GB chip)")
@@ -133,6 +138,7 @@ def to_config(args) -> C.ExperimentConfig:
         grad_accum_steps=args.grad_accumulation_steps,
         grad_clip=args.grad_clip, precision=args.precision,
         quantize_frozen=args.quantize_frozen,
+        remat_policy=args.remat_policy,
         lora=C.LoraConfig(rank=args.lora_r, alpha=args.lora_alpha,
                           dropout=args.lora_dropout,
                           target_modules=tuple(

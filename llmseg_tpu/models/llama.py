@@ -175,7 +175,14 @@ def apply(params: dict, cfg: LlamaConfig, *,
 
     layer_fn = _layer
     if remat:
-        layer_fn = jax.checkpoint(_layer, static_argnums=(5, 6))
+        # remat="dots" keeps matmul outputs (~65MB/layer bf16 at seq 767)
+        # so the backward pass skips the re-forward; plain True recomputes
+        # everything (minimum memory, the reference's gradient-checkpointing
+        # behavior, training.py:166)
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if remat == "dots" else None)
+        layer_fn = jax.checkpoint(_layer, static_argnums=(5, 6),
+                                  policy=policy)
     for i, lp in enumerate(params["layers"]):
         llp = None if lora is None else lora["layers"][i]
         x = layer_fn(lp, llp, x, cos[:T], sin[:T], cfg, scaling)

@@ -45,8 +45,10 @@ class Trainer:
                 self.skeleton = optim.quantize_skeleton(self.skeleton)
             self.tx = optim.make_trainable_optimizer(cfg.train)
             self.opt_state = self.tx.init(self.trainable)
+        remat = {"none": False, "full": True}.get(
+            cfg.train.remat_policy, cfg.train.remat_policy)
         step_fn = ts_lib.make_partitioned_train_step(
-            cfg.model, self.tx, lora_cfg=self.lora_cfg, remat=True)
+            cfg.model, self.tx, lora_cfg=self.lora_cfg, remat=remat)
         self.train_step = jax.jit(step_fn, donate_argnums=(0, 2))
         self.eval_step = jax.jit(
             ts_lib.make_eval_step(cfg.model, lora_cfg=self.lora_cfg))
