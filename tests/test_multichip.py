@@ -102,6 +102,26 @@ def test_mesh_loss_matches_single_device():
     np.testing.assert_allclose(loss_mesh, loss_1dev, rtol=2e-4)
 
 
+def test_sharded_predict_matches_single_device():
+    """Inference (predict) under a dp=2 x tp=2 mesh returns the same
+    similarity/IoU scores as one device — the multi-chip serving path
+    (tensor-parallel LLaMA + replicated heads) is exercised end to end."""
+    cfg = C.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, num_images=2, rows_per_image=1, text_len=32)
+    ref = llmseg.predict(params, cfg, batch)
+
+    mesh = M.make_mesh(C.MeshConfig(data=2, fsdp=1, tensor=2),
+                       devices=jax.devices()[:4])
+    with mesh:
+        sp = M.shard_params(params, mesh)
+        sb = M.shard_batch(batch, mesh)
+        out = jax.jit(lambda p, b: llmseg.predict(p, cfg, b))(sp, sb)
+    for k in ("pred_similarity", "pred_iou"):
+        np.testing.assert_allclose(np.asarray(out[k]), np.asarray(ref[k]),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_one_hot_embed_matches_gather():
     """llama.embed one-hot formulation is numerically identical to the
     gather (same table, same ids)."""
