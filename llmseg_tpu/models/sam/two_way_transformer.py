@@ -81,6 +81,9 @@ def block_apply(p: dict, queries: jnp.ndarray, keys: jnp.ndarray,
     queries = L.layernorm(p["norm1"], queries)
 
     q = queries + query_pe
+    # keys is unchanged between the two cross attentions, so the (B, S*S, C)
+    # positional add — a full HBM pass over the prompt-tiled image tensor —
+    # happens once, not twice
     k = keys + key_pe
     queries = queries + attention_apply(p["cross_attn_t2i"], q, k, keys,
                                         num_heads, key_mask=key_mask)
@@ -90,7 +93,6 @@ def block_apply(p: dict, queries: jnp.ndarray, keys: jnp.ndarray,
     queries = L.layernorm(p["norm3"], queries)
 
     q = queries + query_pe
-    k = keys + key_pe
     keys = keys + attention_apply(p["cross_attn_i2t"], k, q, queries,
                                   num_heads, key_mask=query_mask)
     keys = L.layernorm(p["norm4"], keys)
