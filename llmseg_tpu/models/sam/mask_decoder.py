@@ -85,6 +85,15 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
     src = src + dense_prompt
     S = src.shape[1]
 
+    if B >= 8 and S * S >= 1024 and jax.default_backend() == "tpu":
+        # AMG-scale prompt batches: transformer + upscale + hypernetwork +
+        # IoU head as ONE Pallas program per prompt (see ops/twoway_kernel);
+        # masks come back in the input dtype (bf16 end-to-end under AMG).
+        from llmseg_tpu.ops.twoway_kernel import fused_decode_apply
+
+        return fused_decode_apply(p["transformer"], p, src, image_pe,
+                                  tokens, cfg.transformer_num_heads)
+
     hs, keys = twt.apply(p["transformer"], src, image_pe, tokens,
                          cfg.transformer_num_heads)
     iou_token_out = hs[:, 0]

@@ -1,0 +1,358 @@
+"""Fused Pallas kernel for the SAM two-way transformer.
+
+TPU-native replacement for the decode-side hot loop of the reference's
+``TwoWayTransformer`` (reference modeling/transformer.py:47-137) as used by
+the mask decoder during automatic mask generation: 64 prompts per chunk each
+carry their own diverging copy of the (64*64, 256) image state, so the
+unfused XLA program materializes ~14 full HBM passes over a (B, 4096, 256)
+tensor (pos adds, projections, attention outputs, residuals, LayerNorms).
+
+This kernel grids over prompts and runs the ENTIRE depth-2 transformer plus
+final attention for one prompt inside VMEM: the per-prompt image state
+(2 MB bf16), the token state (7x256), and all weights (~6.6 MB) fit
+comfortably, so HBM traffic drops to one read of the inputs and one write of
+the outputs.  Math follows models/sam/two_way_transformer.py exactly
+(fp32 softmax + LayerNorm statistics, bf16 MXU matmuls).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret():
+    return jax.default_backend() != "tpu"
+
+
+def _dense(p, x):
+    # Mosaic requires a 32-bit matmul accumulator for bf16 operands.
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
+    return (y + p["b"].astype(jnp.float32)).astype(x.dtype)
+
+
+def _layernorm(p, x, eps=1e-6):
+    orig = x.dtype
+    x = x.astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
+    y = (x - mu) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"].astype(jnp.float32)
+            + p["bias"].astype(jnp.float32)).astype(orig)
+
+
+def _contract(a, b, dims, out_dtype=None):
+    y = jax.lax.dot_general(a, b, (dims, ((), ())),
+                            preferred_element_type=jnp.float32)
+    return y if out_dtype is None else y.astype(out_dtype)
+
+
+def _bd(xh, nh):
+    """(T, I) -> (nh*T, I) head-block-diagonal: row h*T+t is xh[t] with every
+    column outside head h's (I/nh)-wide block zeroed.  Lets one MXU dot over
+    the FULL inner width compute all heads' per-head contractions at once —
+    the alternative (slicing 16-lane head columns) lowers to sliver matmuls
+    and relayouts that dominate kernel time."""
+    T, I = xh.shape
+    hd = I // nh
+    tiled = jnp.concatenate([xh] * nh, axis=0)
+    r = jax.lax.broadcasted_iota(jnp.int32, (nh * T, I), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (nh * T, I), 1)
+    return jnp.where((r // T) == (c // hd), tiled, jnp.zeros_like(tiled))
+
+
+def _attn_small_q(p, q, k, v, nh):
+    """Attention where the QUERY side is small (output/prompt tokens):
+    softmax over the full Tk lane axis."""
+    qh, kh, vh = _dense(p["q"], q), _dense(p["k"], k), _dense(p["v"], v)
+    Tq, I = qh.shape
+    hd = I // nh
+    qbd = _bd(qh, nh) * jnp.asarray(1.0 / math.sqrt(hd), qh.dtype)
+    s = _contract(qbd, kh, (((1,), (1,))))                 # (nh*Tq, Tk) fp32
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(vh.dtype)
+    o = _contract(probs, vh, (((1,), (0,))))               # (nh*Tq, I) fp32
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Tq, I), 1)
+    out = jnp.zeros((Tq, I), jnp.float32)
+    for h in range(nh):                                    # block-diag extract
+        out = out + jnp.where(lane // hd == h, o[h * Tq:(h + 1) * Tq], 0.0)
+    return _dense(p["out"], out.astype(q.dtype))
+
+
+def _attn_small_k(p, q, k, v, nh):
+    """Attention where the KEY side is small (image tokens attend to prompt
+    tokens): scores held transposed (nh*Tk, Tq) so the per-head softmax over
+    Tk runs on cheap static sublane slices."""
+    qh, kh, vh = _dense(p["q"], q), _dense(p["k"], k), _dense(p["v"], v)
+    Tk, I = kh.shape
+    hd = I // nh
+    kbd = _bd(kh, nh) * jnp.asarray(1.0 / math.sqrt(hd), kh.dtype)
+    s = _contract(kbd, qh, (((1,), (1,))))                 # (nh*Tk, Tq) fp32
+    ps = []
+    for h in range(nh):
+        sl = s[h * Tk:(h + 1) * Tk]
+        m = jnp.max(sl, axis=0, keepdims=True)
+        e = jnp.exp(sl - m)
+        ps.append(e / jnp.sum(e, axis=0, keepdims=True))
+    probs = jnp.concatenate(ps, axis=0).astype(vh.dtype)   # (nh*Tk, Tq)
+    # row (h,t) of V_bd is nonzero only in head h's columns, so one dot sums
+    # exactly the right (t, head) pairs per output column.
+    o = _contract(probs, _bd(vh, nh), (((0,), (0,))))      # (Tq, I) fp32
+    return _dense(p["out"], o.astype(q.dtype))
+
+
+def _attention(p, q, k, v, num_heads):
+    """Matches two_way_transformer.attention_apply for a single (2D) example;
+    fp32 softmax statistics like ops.attention.attention_xla."""
+    if k.shape[0] < q.shape[0]:
+        return _attn_small_k(p, q, k, v, num_heads)
+    return _attn_small_q(p, q, k, v, num_heads)
+
+
+def _block(p, queries, keys, query_pe, k_with_pe, num_heads, skip_first_pe):
+    """One TwoWayAttentionBlock (reference transformer.py:140-213) on 2D state.
+
+    ``k_with_pe`` is keys + key_pe, computed by the caller (keys do not change
+    between the two cross attentions of a block)."""
+    if skip_first_pe:
+        queries = _attention(p["self_attn"], queries, queries, queries,
+                             num_heads)
+    else:
+        q = queries + query_pe
+        queries = queries + _attention(p["self_attn"], q, q, queries,
+                                       num_heads)
+    queries = _layernorm(p["norm1"], queries)
+
+    q = queries + query_pe
+    queries = queries + _attention(p["cross_attn_t2i"], q, k_with_pe, keys,
+                                   num_heads)
+    queries = _layernorm(p["norm2"], queries)
+
+    h = _dense(p["mlp"]["fc1"], queries)
+    queries = queries + _dense(p["mlp"]["fc2"], jax.nn.relu(h))
+    queries = _layernorm(p["norm3"], queries)
+
+    q = queries + query_pe
+    keys = keys + _attention(p["cross_attn_i2t"], k_with_pe, q, queries,
+                             num_heads)
+    keys = _layernorm(p["norm4"], keys)
+    return queries, keys
+
+
+def _transformer(p, queries, keys, key_pe, num_heads, depth):
+    query_pe = queries
+    for i in range(depth):
+        k = keys + key_pe
+        queries, keys = _block(p["layers"][i], queries, keys, query_pe, k,
+                               num_heads, skip_first_pe=(i == 0))
+    q = queries + query_pe
+    k = keys + key_pe
+    queries = queries + _attention(p["final_attn"], q, k, keys, num_heads)
+    queries = _layernorm(p["norm_final"], queries)
+    return queries, keys
+
+
+def _kernel(treedef, num_heads, depth, keys_ref, pe_ref, tok_ref, *refs):
+    leaf_refs = refs[:-2]
+    q_out_ref, k_out_ref = refs[-2], refs[-1]
+    p = jax.tree_util.tree_unflatten(treedef, [r[...] for r in leaf_refs])
+
+    keys = keys_ref[0]                            # (L, C)
+    key_pe = pe_ref[...].astype(keys.dtype)       # (L, C)
+    queries = tok_ref[0].astype(keys.dtype)       # (N, C)
+    queries, keys = _transformer(p, queries, keys, key_pe, num_heads, depth)
+
+    q_out_ref[0] = queries
+    k_out_ref[0] = keys
+
+
+def _mlp_stack(layers, x):
+    for i, lp in enumerate(layers):
+        x = _dense(lp, x)
+        if i < len(layers) - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+def _decode_kernel(treedef, num_heads, depth, num_tokens,
+                   keys_ref, pe_ref, tok_ref, *refs):
+    leaf_refs = refs[:-2]
+    m_out_ref, iou_out_ref = refs[-2], refs[-1]
+    p = jax.tree_util.tree_unflatten(treedef, [r[...] for r in leaf_refs])
+
+    keys = keys_ref[0]                                     # (L, C)
+    key_pe = pe_ref[...].astype(keys.dtype)
+    queries = tok_ref[0].astype(keys.dtype)                # (N, C)
+    queries, keys = _transformer(p["twt"], queries, keys, key_pe,
+                                 num_heads, depth)
+    hp = p["head"]
+
+    iou_out_ref[0] = _mlp_stack(hp["iou"], queries[0:1])    # (1, num_tokens)
+
+    # hypernetwork MLPs -> (num_tokens, co2)
+    hyper = jnp.concatenate(
+        [_mlp_stack(hp["hyper"][n], queries[1 + n:2 + n])
+         for n in range(num_tokens)], axis=0)
+    co2 = hyper.shape[-1]
+
+    # H_bd (4*num_tokens, 4*co2) block-diagonal over the 4 (di2,dj2) groups:
+    # H_bd[g*T + t, g*co2 + c] = hyper[t, c] -> ONE dot per g1 group computes
+    # all 4 sub-pixel positions x num_tokens mask values.
+    hbd = jnp.concatenate([hyper] * 4, axis=0)
+    hbd = jnp.concatenate([hbd] * 4, axis=1)
+    r = jax.lax.broadcasted_iota(jnp.int32, hbd.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, hbd.shape, 1)
+    hbd = jnp.where((r // num_tokens) == (c // co2), hbd,
+                    jnp.zeros_like(hbd))
+
+    # conv_transpose 1 (kernel==stride==2) as a single matmul; columns are
+    # grouped (di1,dj1, co1) and NEVER mix pixels, so layernorm2d / gelu /
+    # conv2 / hypernet all proceed in this permuted layout.
+    y1 = _dense(hp["conv1"], keys)                          # (L, 4*co1)
+    co1 = y1.shape[-1] // 4
+    parts = []
+    for g1 in range(4):
+        z = y1[:, g1 * co1:(g1 + 1) * co1]
+        z = _layernorm(hp["ln"], z)
+        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(_dense(hp["conv2"], z))             # (L, 4*co2)
+        parts.append(jax.lax.dot_general(
+            z, hbd, ((((1,), (1,))), ((), ())),
+            preferred_element_type=jnp.float32))            # (L, 4*num_tokens)
+    # (L, 16*num_tokens) columns ordered (di1,dj1, di2,dj2, token)
+    m_out_ref[0] = jnp.concatenate(parts, axis=1).astype(m_out_ref.dtype)
+
+
+def fused_twoway_apply(params: dict, image_embedding: jnp.ndarray,
+                       image_pe: jnp.ndarray, point_embedding: jnp.ndarray,
+                       num_heads: int):
+    """Drop-in for two_way_transformer.apply on TPU (interpret mode elsewhere).
+
+    image_embedding: (B, S, S, C); image_pe: (S, S, C) or (1|B, S, S, C);
+    point_embedding: (B, N, C).  Returns (queries (B, N, C), keys (B, L, C)).
+    """
+    B, Hs, Ws, C = image_embedding.shape
+    L = Hs * Ws
+    keys = image_embedding.reshape(B, L, C)
+    pe = image_pe.reshape(-1, L, C)[0]            # shared across prompts
+    N = point_embedding.shape[1]
+    tokens = point_embedding.astype(keys.dtype)
+    depth = len(params["layers"])
+
+    # 1D leaves -> (1, dim) so every ref is >= 2D and broadcasts in-kernel.
+    params2d = jax.tree_util.tree_map(
+        lambda a: a.reshape(1, -1) if a.ndim == 1 else a, params)
+    leaves, treedef = jax.tree_util.tree_flatten(params2d)
+
+    shared = pl.BlockSpec(pe.shape, lambda i: (0,) * pe.ndim)
+    leaf_specs = [pl.BlockSpec(a.shape, functools.partial(
+        lambda nd, i: (0,) * nd, a.ndim)) for a in leaves]
+
+    q_out, k_out = pl.pallas_call(
+        functools.partial(_kernel, treedef, num_heads, depth),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, C), lambda i: (i, 0, 0)),
+            shared,
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            *leaf_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, L, C), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, N, C), keys.dtype),
+            jax.ShapeDtypeStruct((B, L, C), keys.dtype),
+        ],
+        interpret=_interpret(),
+        # One prompt's whole working set (keys 2MB + projections + weights)
+        # lives on the kernel stack; the 16MB default is ~271KB short.
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(keys, pe, tokens, *leaves)
+    return q_out, k_out
+
+
+def _convt_as_matmul(p):
+    """(2,2,ci,co) conv_transpose weights -> (ci, 4*co) matmul form.
+
+    jax.lax.conv_transpose applies the kernel spatially FLIPPED:
+    y[2i+di, 2j+dj, o] = sum_c x[i,j,c] * w[1-di, 1-dj, c, o]  (verified
+    numerically; kernel==stride means output pixels never mix inputs)."""
+    w = p["w"][::-1, ::-1]                        # (2,2,ci,co) flipped
+    ci, co = w.shape[2], w.shape[3]
+    return {"w": w.transpose(2, 0, 1, 3).reshape(ci, 4 * co),
+            "b": jnp.tile(p["b"], 4)}
+
+
+def fused_decode_apply(twt_params: dict, decoder_params: dict,
+                       image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
+                       point_embedding: jnp.ndarray, num_heads: int):
+    """Transformer + upscale + hypernetwork + IoU head in ONE Pallas kernel.
+
+    Covers mask_decoder.predict_masks from the transformer onward: the
+    unfused program writes ~400MB of HBM intermediates per 64-prompt chunk
+    (per-prompt keys, two conv_transpose feature maps, fp32 masks); here one
+    prompt's entire pipeline stays in VMEM and only the low-res mask logits
+    (bf16) and IoU predictions leave the chip.
+    Returns (masks (B, num_tokens, 4S, 4S) in image dtype, iou (B, num_tokens)).
+    """
+    B, Hs, Ws, C = image_embedding.shape
+    L = Hs * Ws
+    keys = image_embedding.reshape(B, L, C)
+    pe = image_pe.reshape(-1, L, C)[0]
+    N = point_embedding.shape[1]
+    tokens = point_embedding.astype(keys.dtype)
+    depth = len(twt_params["layers"])
+    num_tokens = len(decoder_params["hyper_mlps"])
+
+    head = {
+        "conv1": _convt_as_matmul(decoder_params["upscale_conv1"]),
+        "ln": decoder_params["upscale_ln"],
+        "conv2": _convt_as_matmul(decoder_params["upscale_conv2"]),
+        "hyper": [mp["layers"] for mp in decoder_params["hyper_mlps"]],
+        "iou": decoder_params["iou_head"]["layers"],
+    }
+    params2d = jax.tree_util.tree_map(
+        lambda a: a.reshape(1, -1) if a.ndim == 1 else a,
+        {"twt": twt_params, "head": head})
+    leaves, treedef = jax.tree_util.tree_flatten(params2d)
+
+    shared = pl.BlockSpec(pe.shape, lambda i: (0,) * pe.ndim)
+    leaf_specs = [pl.BlockSpec(a.shape, functools.partial(
+        lambda nd, i: (0,) * nd, a.ndim)) for a in leaves]
+
+    masks_perm, iou = pl.pallas_call(
+        functools.partial(_decode_kernel, treedef, num_heads, depth,
+                          num_tokens),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, L, C), lambda i: (i, 0, 0)),
+            shared,
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            *leaf_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, 16 * num_tokens), lambda i: (i, 0, 0)),
+            # 3D so the last two block dims equal the array dims (TPU tiling)
+            pl.BlockSpec((1, 1, num_tokens), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, 16 * num_tokens), keys.dtype),
+            jax.ShapeDtypeStruct((B, 1, num_tokens), keys.dtype),
+        ],
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
+    )(keys, pe, tokens, *leaves)
+
+    # un-permute: kernel mask columns are (di1,dj1, di2,dj2, token) per
+    # low-res pixel; final pixel = (4i + 2*di1 + di2, 4j + 2*dj1 + dj2)
+    m = masks_perm.reshape(B, Hs, Ws, 2, 2, 2, 2, num_tokens)
+    m = m.transpose(0, 7, 1, 3, 5, 2, 4, 6)
+    return m.reshape(B, num_tokens, 4 * Hs, 4 * Ws), iou[:, 0]

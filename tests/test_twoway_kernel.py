@@ -1,0 +1,86 @@
+"""Fused two-way transformer / decode kernel vs the XLA reference path.
+
+Runs in Pallas interpret mode on CPU (tiny shapes); the same kernel code
+compiles natively on TPU where mask_decoder.predict_masks auto-routes
+AMG-scale prompt batches to it.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from llmseg_tpu.config import SamDecoderConfig
+from llmseg_tpu.models.sam import mask_decoder
+from llmseg_tpu.models.sam import two_way_transformer as twt
+from llmseg_tpu.ops.twoway_kernel import fused_decode_apply, fused_twoway_apply
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return SamDecoderConfig(transformer_dim=64, transformer_depth=2,
+                            transformer_num_heads=8, transformer_mlp_dim=128,
+                            iou_head_hidden_dim=32, iou_head_depth=3)
+
+
+def test_fused_twoway_matches_xla():
+    dim, nh = 64, 4
+    p = twt.init(jax.random.PRNGKey(0), depth=2, dim=dim, num_heads=nh,
+                 mlp_dim=128, dtype=jnp.float32)
+    B, S, N = 3, 8, 7
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, S, S, dim)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (S, S, dim)) * 0.5
+    pts = jax.random.normal(jax.random.PRNGKey(3), (B, N, dim)) * 0.5
+    q0, k0 = twt.apply(p, emb, pe, pts, nh, impl="xla")
+    q1, k1 = fused_twoway_apply(p, emb, pe, pts, nh)
+    assert jnp.abs(q0 - q1).max() < 1e-5
+    assert jnp.abs(k0 - k1).max() < 1e-5
+
+
+def test_fused_decode_matches_predict_masks(tiny_cfg):
+    cfg = tiny_cfg
+    d = cfg.transformer_dim
+    p = mask_decoder.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, S = 4, 8
+    emb = jax.random.normal(jax.random.PRNGKey(1), (B, S, S, d)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (S, S, d)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (B, 2, d)) * 0.5
+    dense = jax.random.normal(jax.random.PRNGKey(4), (B, S, S, d)) * 0.1
+
+    m0, i0 = mask_decoder.predict_masks(p, cfg, emb, pe, sparse, dense)
+    num_tokens = cfg.num_multimask_outputs + 1
+    out_tok = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tok[None], (B, num_tokens + 1, d)), sparse],
+        axis=1)
+    m1, i1 = fused_decode_apply(p["transformer"], p, emb + dense, pe, tokens,
+                                cfg.transformer_num_heads)
+    assert m1.shape == (B, num_tokens, 4 * S, 4 * S)
+    assert jnp.abs(m0 - m1).max() < 1e-5
+    assert jnp.abs(i0 - i1).max() < 1e-5
+
+
+def test_fused_decode_bf16_close(tiny_cfg):
+    """bf16 params/inputs: fused kernel tracks the XLA path within bf16 noise."""
+    cfg = tiny_cfg
+    d = cfg.transformer_dim
+    p = mask_decoder.init(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    B, S = 2, 8
+    emb = (jax.random.normal(jax.random.PRNGKey(1), (B, S, S, d)) * 0.5
+           ).astype(jnp.bfloat16)
+    pe = (jax.random.normal(jax.random.PRNGKey(2), (S, S, d)) * 0.5
+          ).astype(jnp.bfloat16)
+    sparse = (jax.random.normal(jax.random.PRNGKey(3), (B, 2, d)) * 0.5
+              ).astype(jnp.bfloat16)
+    dense = jnp.zeros((B, S, S, d), jnp.bfloat16)
+
+    m0, i0 = mask_decoder.predict_masks(p, cfg, emb, pe, sparse, dense)
+    num_tokens = cfg.num_multimask_outputs + 1
+    out_tok = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tok[None], (B, num_tokens + 1, d)), sparse],
+        axis=1)
+    m1, i1 = fused_decode_apply(p["transformer"], p, emb, pe, tokens,
+                                cfg.transformer_num_heads)
+    scale = float(jnp.abs(m0.astype(jnp.float32)).max()) + 1e-6
+    assert float(jnp.abs(m0.astype(jnp.float32)
+                         - m1.astype(jnp.float32)).max()) / scale < 0.05
