@@ -55,12 +55,19 @@ class BatchLoader:
         stop = threading.Event()
 
         def producer():
+            # pool workers fetch samples concurrently (numpy/PIL/cv2 release
+            # the GIL); batch order is preserved by submitting per batch —
+            # the torch DataLoader(num_workers=N) equivalent
+            from concurrent.futures import ThreadPoolExecutor
+
             try:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = [self.dataset[i] for i in idxs]
-                    q.put(self.collate_fn(samples))
+                with ThreadPoolExecutor(self.num_threads) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(pool.map(self.dataset.__getitem__,
+                                                idxs))
+                        q.put(self.collate_fn(samples))
             except Exception as e:  # surface worker errors to the consumer
                 q.put(e)
             finally:
