@@ -205,6 +205,41 @@ def test_training_losses_match_reference(ref_and_ours):
                                    err_msg=f"loss component {k}")
 
 
+def test_training_gradients_match_reference(ref_and_ours):
+    """Training fidelity one level deeper than loss parity: d(loss)/d(theta)
+    for the trainable selection-head params matches torch autograd on the
+    reference model_forward.  Catches wrong-but-loss-preserving plumbing
+    (e.g. stop_gradient misplacement, masked-softmax renorm errors) that
+    forward parity alone cannot."""
+    ref, tin, cfg, params, batch = ref_and_ours
+    ref.train()
+    ref.zero_grad()
+    out = ref.model_forward(**tin)
+    out["loss"].backward()
+    sd_grads = {n: p.grad.detach().numpy()
+                for n, p in ref.named_parameters() if p.grad is not None}
+
+    g = jax.grad(lambda p: llmseg.loss_fn(p, cfg, batch)[0])(params)
+
+    pairs = [
+        ("model.lisa_dino_conv.weight",
+         np.asarray(g["select"]["dino_conv"]["w"]).T[:, :, None, None]),
+        ("model.lisa_iou_head.0.weight",
+         np.asarray(g["select"]["iou_head"]["layers"][0]["w"]).T),
+        ("model.lisa_embedding_head.2.weight",
+         np.asarray(g["select"]["embedding_head"]["layers"][1]["w"]).T),
+        ("model.lisa_attention_layers.0.cross_attn_token_to_image.q_proj.weight",
+         np.asarray(g["select"]["blocks"][0]["cross_t2i"]["q"]["w"]).T),
+        ("model.lisa_final_attn.v_proj.weight",
+         np.asarray(g["select"]["final_attn"]["v"]["w"]).T),
+    ]
+    for ref_name, ours in pairs:
+        want = sd_grads[ref_name].reshape(ours.shape)
+        scale = np.abs(want).max() + 1e-12
+        np.testing.assert_allclose(ours / scale, want / scale,
+                                   atol=2e-3, err_msg=f"grad of {ref_name}")
+
+
 def test_inference_similarity_matches_reference(ref_and_ours):
     ref, tin, cfg, params, batch = ref_and_ours
     # reference inference asserts images_clip.shape[0] == 1 -> single image
