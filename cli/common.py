@@ -29,8 +29,11 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                         "matmul outputs (faster), full recomputes all "
                         "(least memory), none disables remat")
     p.add_argument("--quantize_frozen", action="store_true",
-                   help="QLoRA layout: int8 frozen LLM base (fits 7B "
+                   help="QLoRA layout: quantized frozen LLM base (fits 7B "
                         "training on one 16GB chip)")
+    p.add_argument("--quantize_bits", type=int, default=8, choices=[8, 4],
+                   help="frozen-base weight width (reference load_8bit/"
+                        "load_4bit equivalent)")
     p.add_argument("--model_max_length", type=int, default=512)
     p.add_argument("--out_dim", type=int, default=256)
     p.add_argument("--use_mm_start_end", action="store_true", default=True)
@@ -138,6 +141,7 @@ def to_config(args) -> C.ExperimentConfig:
         grad_accum_steps=args.grad_accumulation_steps,
         grad_clip=args.grad_clip, precision=args.precision,
         quantize_frozen=args.quantize_frozen,
+        quantize_bits=args.quantize_bits,
         remat_policy=args.remat_policy,
         lora=C.LoraConfig(rank=args.lora_r, alpha=args.lora_alpha,
                           dropout=args.lora_dropout,

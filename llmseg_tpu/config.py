@@ -380,7 +380,8 @@ class TrainConfig:
     grad_accum_steps: int = 10
     grad_clip: float = 1.0
     precision: str = "bf16"
-    quantize_frozen: bool = False    # QLoRA layout: int8 frozen LLM base
+    quantize_frozen: bool = False    # QLoRA layout: quantized frozen LLM base
+    quantize_bits: int = 8           # 8 (native MXU int8) or 4 (packed nibbles)
     # gradient-checkpoint policy for the LLaMA layers: "dots" keeps matmul
     # outputs so backward skips the re-forward (18% faster/step at 7B QLoRA
     # on one 16GB chip, +~2GB activations); "full" recomputes everything

@@ -1,10 +1,17 @@
-"""Weight-only int8 quantization (capability parity with the reference's
-4/8-bit LLaVA load path, model/llava/model/builder.py load_4bit/load_8bit —
-bitsandbytes on GPU; here: symmetric per-output-channel int8 with bf16/fp32
-scales, dequantized on the fly in the matmul epilogue).
+"""Weight-only int8 / int4 quantization (capability parity with the
+reference's 4/8-bit LLaVA load path, model/llava/model/builder.py
+load_4bit/load_8bit — bitsandbytes on GPU).
 
-Halves LLM weight HBM (13.5GB -> 6.8GB at 7B), freeing room for batching.
-"""
+int8: symmetric per-output-channel scales, dequantized in the matmul
+epilogue (the int8 matmul runs natively on the MXU).  Halves LLM weight HBM
+(13.5GB -> 6.8GB at 7B).
+
+int4: symmetric per-(input-group, output-channel) scales (group=128, the
+bitsandbytes blockwise convention), two nibbles packed per int8 byte along
+the input dim and unpacked on the fly.  Quarters resident weight HBM
+(13.5GB -> 3.4GB at 7B); the transient dequantized operand costs extra
+bandwidth per matmul, so this is a fit-in-memory option, not a speed one —
+exactly the reference's load_4bit trade."""
 
 from __future__ import annotations
 
@@ -26,13 +33,58 @@ def quantize_dense(p: Dict) -> Dict:
     return out
 
 
+def quantize_dense4(p: Dict, group: int = 128) -> Dict:
+    """{'w': (in, out) float, 'b'?} -> {'w_q4': (padded_in/2, out) int8
+    packed nibbles, 'w_scale4': (n_groups, out)}.  The original in_dim is
+    recovered from x.shape[-1] at apply time (no static leaf: ints in the
+    pytree would trace under jit and break slicing)."""
+    assert group % 2 == 0
+    w = p["w"].astype(jnp.float32)
+    in_dim, out_dim = w.shape
+    n_groups = -(-in_dim // group)
+    wp = jnp.pad(w, ((0, n_groups * group - in_dim), (0, 0)))
+    wg = wp.reshape(n_groups, group, out_dim)
+    scale = jnp.maximum(jnp.max(jnp.abs(wg), axis=1) / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(wg / scale[:, None]), -7, 7)
+    q = q.reshape(-1, out_dim).astype(jnp.int8)
+    lo, hi = q[0::2], q[1::2]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF),
+                            jnp.left_shift(hi, 4)).astype(jnp.int8)
+    out = {"w_q4": packed, "w_scale4": scale.astype(jnp.float32)}
+    if "b" in p:
+        out["b"] = p["b"]
+    return out
+
+
 def is_quantized(p: Dict) -> bool:
-    return "w_q" in p
+    return "w_q" in p or "w_q4" in p
+
+
+def _qdense4(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
+    packed = p["w_q4"]
+    # arithmetic shifts recover the signed nibbles (two's complement)
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    w = jnp.stack([lo, hi], axis=1).reshape(-1, packed.shape[1])
+    scale = p["w_scale4"]
+    group = w.shape[0] // scale.shape[0]
+    wd = (w.reshape(scale.shape[0], group, -1).astype(x.dtype)
+          * scale[:, None].astype(x.dtype))
+    wd = wd.reshape(-1, packed.shape[1])[:x.shape[-1]]
+    y = jax.lax.dot_general(
+        x, wd, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
 
 
 def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x @ dequant(w) computed as (x @ w_q) * scale — the int8 matmul runs
-    natively on the MXU, the scale fuses into the epilogue."""
+    """x @ dequant(w).  int8: (x @ w_q) * scale — the int8 matmul runs
+    natively on the MXU, the scale fuses into the epilogue.  int4: unpack +
+    blockwise-dequant then matmul."""
+    if "w_q4" in p:
+        return _qdense4(p, x)
     y = jax.lax.dot_general(
         x, p["w_q"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -43,16 +95,18 @@ def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def quantize_tree(params, predicate=None):
+def quantize_tree(params, predicate=None, bits: int = 8):
     """Quantize every dense leaf-dict ({'w': 2D}) in a pytree.  predicate
     (path_tuple -> bool) can exclude subtrees (e.g. norms are left alone —
-    they are 1D and skipped automatically)."""
+    they are 1D and skipped automatically).  bits: 8 or 4."""
+    assert bits in (8, 4), bits
+    qfn = quantize_dense if bits == 8 else quantize_dense4
 
     def walk(node, path):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2 and (
                     predicate is None or predicate(path)):
-                return quantize_dense(node)
+                return qfn(node)
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v, path + (i,))
@@ -62,7 +116,7 @@ def quantize_tree(params, predicate=None):
     return walk(params, ())
 
 
-def quantize_llama(llm_params: Dict) -> Dict:
+def quantize_llama(llm_params: Dict, bits: int = 8) -> Dict:
     """Quantize LLaMA projection weights; embeddings and norms stay full
     precision (embedding rows are gathered, not matmul'd)."""
 
@@ -70,4 +124,4 @@ def quantize_llama(llm_params: Dict) -> Dict:
         joined = "/".join(str(p) for p in path)
         return "attn" in joined or "mlp" in joined or "lm_head" in joined
 
-    return quantize_tree(llm_params, pred)
+    return quantize_tree(llm_params, pred, bits=bits)

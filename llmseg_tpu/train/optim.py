@@ -121,14 +121,15 @@ def combine(skeleton: dict, trainable: dict) -> dict:
     return walk(skeleton, ())
 
 
-def quantize_skeleton(skeleton: dict) -> dict:
-    """QLoRA-style: int8-quantize the frozen LLaMA base weights inside the
-    skeleton (halves their HBM; LoRA/heads stay full precision)."""
+def quantize_skeleton(skeleton: dict, bits: int = 8) -> dict:
+    """QLoRA-style: quantize the frozen LLaMA base weights inside the
+    skeleton (int8 halves their HBM, int4 quarters it; LoRA/heads stay
+    full precision)."""
     from llmseg_tpu.ops import quant
 
     out = dict(skeleton)
     if "llava" in out and "llm" in out["llava"]:
         llava = dict(out["llava"])
-        llava["llm"] = quant.quantize_llama(llava["llm"])
+        llava["llm"] = quant.quantize_llama(llava["llm"], bits=bits)
         out["llava"] = llava
     return out

@@ -42,7 +42,8 @@ class Trainer:
             # trainable subset; optional int8 frozen base (QLoRA)
             self.trainable, self.skeleton = optim.partition(params)
             if cfg.train.quantize_frozen:
-                self.skeleton = optim.quantize_skeleton(self.skeleton)
+                self.skeleton = optim.quantize_skeleton(
+                    self.skeleton, bits=cfg.train.quantize_bits)
             self.tx = optim.make_trainable_optimizer(cfg.train)
             self.opt_state = self.tx.init(self.trainable)
         remat = {"none": False, "full": True}.get(
@@ -74,7 +75,8 @@ class Trainer:
             opt_state_like=None if weights_only else self.opt_state)
         self.trainable, self.skeleton = optim.partition(params)
         if self.cfg.train.quantize_frozen:
-            self.skeleton = optim.quantize_skeleton(self.skeleton)
+            self.skeleton = optim.quantize_skeleton(
+                self.skeleton, bits=self.cfg.train.quantize_bits)
         if opt_state is not None:
             self.opt_state = opt_state
             self.global_step = step

@@ -54,3 +54,45 @@ def test_lora_on_quantized_base():
     h0 = llama.apply(params, cfg, input_ids=ids)
     h1 = llama.apply(params, cfg, input_ids=ids, lora=lora, lora_cfg=lcfg)
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
+
+
+def test_qdense4_close_to_dense():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = {"w": jax.random.normal(k1, (300, 32)) * 0.1,   # in not a group multiple
+         "b": jax.random.normal(k2, (32,)) * 0.01}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 300))
+    qp = quant.quantize_dense4(p)
+    assert qp["w_q4"].dtype == jnp.int8
+    assert qp["w_q4"].shape[0] * 2 >= 300
+    ref = np.asarray(L.dense(p, x))
+    got = np.asarray(quant.qdense(qp, x))
+    # 4-bit blockwise: ~5-10% relative error on random gaussians
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.15, rel
+    # dense() dispatches transparently
+    np.testing.assert_array_equal(np.asarray(L.dense(qp, x)), got)
+
+
+def test_qdense4_roundtrip_exact_on_grid():
+    """Weights already on the int4 grid reconstruct exactly."""
+    scale = 0.5
+    w = (np.random.RandomState(0).randint(-7, 8, size=(256, 16))
+         * scale).astype(np.float32)
+    qp = quant.quantize_dense4({"w": jnp.asarray(w)})
+    x = jnp.eye(256)
+    got = np.asarray(quant.qdense(qp, x))
+    np.testing.assert_allclose(got, w, rtol=1e-5, atol=1e-6)
+
+
+def test_quantized4_llama_forward():
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_llama(params, bits=4)
+    assert "w_q4" in qparams["layers"][0]["attn"]["q"]
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = llama.apply(params, cfg, input_ids=ids)
+    h_q = llama.apply(qparams, cfg, input_ids=ids)
+    a = np.asarray(h_ref).ravel()
+    b = np.asarray(h_q).ravel()
+    corr = np.corrcoef(a, b)[0, 1]
+    assert corr > 0.95, corr
