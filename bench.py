@@ -177,6 +177,10 @@ def run(config_name: str):
 
     # ---- per-tower breakdown (batch 1) ----
     try:
+        import gc
+
+        del batch      # drop the batch-4 sweep buffers: the scan-of-llama
+        gc.collect()   # tower at 7B needs the headroom (13.5GB weights)
         batch = make_batch(cfg, num_images=1, rows_per_image=1,
                            text_len=TEXT_LEN, dtype=dtype)
         lv = cfg.llava
@@ -225,19 +229,41 @@ def main():
     args = ap.parse_args()
     names = ([args.config] if args.config
              else ["llmseg_7b", "llmseg_small"])
-    for name in names:
+    if args.config:
         try:
-            ips, mfu, bsz = run(name)
+            ips, mfu, bsz = run(args.config)
             print(json.dumps({
                 "metric": (f"reasonseg_e2e_infer_images_per_sec_chip"
-                           f"[{name},batch{bsz}]"),
+                           f"[{args.config},batch{bsz}]"),
                 "value": round(ips, 4),
                 "unit": "images/s",
                 "vs_baseline": round(mfu, 4),
             }))
             return
-        except Exception as e:  # OOM or compile failure: fall back
-            log(f"bench: {name} failed: {type(e).__name__}: {e}")
+        except Exception as e:
+            log(f"bench: {args.config} failed: {type(e).__name__}: {e}")
+    else:
+        # one subprocess per config: a 7B run leaves the 16GB chip too
+        # fragmented for a second model in-process, and this also reports
+        # every config instead of only the first (VERDICT r1 #6)
+        import subprocess
+
+        results = []
+        for name in names:
+            r = subprocess.run(
+                [sys.executable, __file__, "--config", name],
+                capture_output=True, text=True, timeout=3600)
+            sys.stderr.write(r.stderr)
+            line = next((ln for ln in r.stdout.splitlines()
+                         if ln.startswith("{")), None)
+            if r.returncode == 0 and line:
+                results.append(line)
+                log(f"bench: RESULT {name}: {line}")
+            else:
+                log(f"bench: {name} subprocess rc={r.returncode}")
+        if results:
+            print(results[0])   # headline = flagship (first) config
+            return
     print(json.dumps({"metric": "reasonseg_e2e_infer_images_per_sec_chip",
                       "value": 0.0, "unit": "images/s",
                       "vs_baseline": None}))
