@@ -194,15 +194,17 @@ def test_partition_combine_roundtrip():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_partitioned_train_step_and_qlora():
+@pytest.mark.parametrize("bits", [8, 4])
+def test_partitioned_train_step_and_qlora(bits):
     cfg = C.llmseg_tiny()
     tcfg = C.TrainConfig(grad_accum_steps=1, epochs=1, steps_per_epoch=10,
                          warmup_steps=0, lr=1e-2)
     params = llmseg.init(jax.random.PRNGKey(0), cfg,
                          lora_cfg=C.LoraConfig(rank=2))
     trainable, skeleton = optim.partition(params)
-    skeleton_q = optim.quantize_skeleton(skeleton)
-    assert "w_q" in skeleton_q["llava"]["llm"]["layers"][0]["attn"]["q"]
+    skeleton_q = optim.quantize_skeleton(skeleton, bits=bits)
+    qkey = "w_q" if bits == 8 else "w_q4"
+    assert qkey in skeleton_q["llava"]["llm"]["layers"][0]["attn"]["q"]
     # trainable holes untouched by quantization
     assert skeleton_q["llava"]["llm"]["lm_head"]["w"] is None
 
