@@ -492,7 +492,11 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
         budget_q = max((5_000_000 // (4 * block_k)) // 128 * 128, 128)
         block_q = min(block_q, budget_q)
     Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
-    Dp = _round_up(D, 128)
+    # Mosaic accepts a block last dim EQUAL to the array dim, so D=64 (the
+    # DINOv2/CLIP head size) runs unpadded: the MXU time is identical (the
+    # systolic array is 128 deep either way) but k/v DMA and the pad copies
+    # halve — measured 1.24 -> 1.11 ms/layer at DINOv2@896, bit-identical.
+    Dp = D if D in (64, 128) else _round_up(D, 128)
 
     def _prep(x, L, Lp):
         x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0), (0, Dp - D)))
