@@ -487,9 +487,11 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
         # running-max bookkeeping (one rescale instead of S/block_k) —
         # measured 6% faster at the DINOv2@896 shape.  Causal keeps small
         # blocks: the per-block diagonal clamp skips ~half the work.
-        # s-tile VMEM budget: block_q * Sp * 4B <= ~5MB.
+        # s-tile VMEM budget: block_q * Sp * 4B <= ~7MB picks block_q=384
+        # at S=4224 (1.11 -> 1.01 ms/layer vs 256; 512 is slower again and
+        # 1024 exceeds the 16MB kernel stack).
         block_k = _round_up(S, 128)
-        budget_q = max((5_000_000 // (4 * block_k)) // 128 * 128, 128)
+        budget_q = max((7_000_000 // (4 * block_k)) // 128 * 128, 128)
         block_q = min(block_q, budget_q)
     Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
     # Mosaic accepts a block last dim EQUAL to the array dim, so D=64 (the
