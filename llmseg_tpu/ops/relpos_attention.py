@@ -151,7 +151,9 @@ def relpos_flash_attention(q, k, v, rel_pos_h, rel_pos_w, grid_g: int, *,
     block_k = min(block_k, T)
     block_k = max((block_k // G) * G, G)                   # multiple of G
     assert T % block_q == 0 and T % block_k == 0, (T, block_q, block_k)
-    Dp = _round_up(D, 128)
+    # block last dim equal to the array dim is legal, so D=80 runs
+    # unpadded: global layer 1.90 -> 1.51 ms (37% less k/v DMA), bit-identical
+    Dp = D
 
     def _prep(x):
         x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
