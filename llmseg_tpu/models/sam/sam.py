@@ -58,7 +58,11 @@ def decode_masks(params: dict, cfg: SamConfig, image_embedding: jnp.ndarray,
                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One image embedding (1 or B, S, S, 256) + prompt batch -> low-res masks.
 
-    Returns (masks (B, M, 4S, 4S) logits, iou_pred (B, M))."""
+    Returns (masks (B, M, 4S, 4S) logits, iou_pred (B, M)).  On TPU, prompt
+    batches >= 8 against >= 1024 image tokens take the fused Pallas decode
+    (ops/twoway_kernel.py) and return masks in the IMAGE dtype (bf16
+    end-to-end under AMG, which casts anyway); smaller batches return fp32
+    logits from the XLA path."""
     sparse, dense = prompt_encoder.apply(
         params["prompt_encoder"], cfg.prompt, points=points, labels=labels,
         boxes=boxes, masks=masks, text_embeds=text_embeds,
