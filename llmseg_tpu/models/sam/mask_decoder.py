@@ -62,7 +62,8 @@ def init(key, cfg: SamDecoderConfig, dtype=jnp.float32) -> dict:
 
 def predict_masks(p: dict, cfg: SamDecoderConfig,
                   image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
-                  sparse_prompt: jnp.ndarray, dense_prompt: jnp.ndarray
+                  sparse_prompt: jnp.ndarray, dense_prompt: jnp.ndarray,
+                  dense_shared: bool = False
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """reference predict_masks:116-164.
 
@@ -79,20 +80,30 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
     tokens = jnp.concatenate(
         [output_tokens, sparse_prompt.astype(output_tokens.dtype)], axis=1)
 
-    src = image_embeddings
-    if src.shape[0] == 1 and B > 1:
-        src = jnp.broadcast_to(src, (B,) + src.shape[1:])
-    src = src + dense_prompt
-    S = src.shape[1]
-
+    S = image_embeddings.shape[1]
     if B >= 8 and S * S >= 1024 and jax.default_backend() == "tpu":
         # AMG-scale prompt batches: transformer + upscale + hypernetwork +
         # IoU head as ONE Pallas program per prompt (see ops/twoway_kernel);
         # masks come back in the input dtype (bf16 end-to-end under AMG).
+        # When the image embedding AND dense prompt are shared (one image,
+        # no per-prompt mask prompts), the base is NOT broadcast: the kernel
+        # reads it once per chunk and block-1 projections are hoisted.
         from llmseg_tpu.ops.twoway_kernel import fused_decode_apply
 
+        if image_embeddings.shape[0] == 1 and dense_shared:
+            src = image_embeddings + dense_prompt[:1]
+        else:
+            src = image_embeddings
+            if src.shape[0] == 1 and B > 1:
+                src = jnp.broadcast_to(src, (B,) + src.shape[1:])
+            src = src + dense_prompt
         return fused_decode_apply(p["transformer"], p, src, image_pe,
                                   tokens, cfg.transformer_num_heads)
+
+    src = image_embeddings
+    if src.shape[0] == 1 and B > 1:
+        src = jnp.broadcast_to(src, (B,) + src.shape[1:])
+    src = src + dense_prompt
 
     hs, keys = twt.apply(p["transformer"], src, image_pe, tokens,
                          cfg.transformer_num_heads)
@@ -113,10 +124,12 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
 
 
 def apply(p: dict, cfg: SamDecoderConfig, image_embeddings, image_pe,
-          sparse_prompt, dense_prompt, multimask_output: bool = True):
+          sparse_prompt, dense_prompt, multimask_output: bool = True,
+          dense_shared: bool = False):
     """reference MaskDecoder.forward:77-114: slice multimask (1:4) or single (0:1)."""
     masks, iou_pred = predict_masks(p, cfg, image_embeddings, image_pe,
-                                    sparse_prompt, dense_prompt)
+                                    sparse_prompt, dense_prompt,
+                                    dense_shared=dense_shared)
     if multimask_output:
         return masks[:, 1:], iou_pred[:, 1:]
     return masks[:, 0:1], iou_pred[:, 0:1]

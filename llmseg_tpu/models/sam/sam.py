@@ -71,7 +71,8 @@ def decode_masks(params: dict, cfg: SamConfig, image_embedding: jnp.ndarray,
                                  cfg.prompt.image_embedding_size)[None]
     return mask_decoder.apply(
         params["mask_decoder"], cfg.decoder, image_embedding, pe,
-        sparse, dense, multimask_output=multimask_output)
+        sparse, dense, multimask_output=multimask_output,
+        dense_shared=masks is None)
 
 
 def postprocess_masks(masks: jnp.ndarray, input_hw: Tuple[int, int],

@@ -66,10 +66,13 @@ def _bd(xh, nh):
     return jnp.where((r // T) == (c // hd), tiled, jnp.zeros_like(tiled))
 
 
-def _attn_small_q(p, q, k, v, nh):
+def _attn_small_q(p, q, k, v, nh, kh=None, vh=None):
     """Attention where the QUERY side is small (output/prompt tokens):
-    softmax over the full Tk lane axis."""
-    qh, kh, vh = _dense(p["q"], q), _dense(p["k"], k), _dense(p["v"], v)
+    softmax over the full Tk lane axis.  kh/vh may be precomputed (shared
+    across prompts when the image state has not diverged yet)."""
+    qh = _dense(p["q"], q)
+    kh = _dense(p["k"], k) if kh is None else kh
+    vh = _dense(p["v"], v) if vh is None else vh
     Tq, I = qh.shape
     hd = I // nh
     qbd = _bd(qh, nh) * jnp.asarray(1.0 / math.sqrt(hd), qh.dtype)
@@ -85,11 +88,12 @@ def _attn_small_q(p, q, k, v, nh):
     return _dense(p["out"], out.astype(q.dtype))
 
 
-def _attn_small_k(p, q, k, v, nh):
+def _attn_small_k(p, q, k, v, nh, qh=None):
     """Attention where the KEY side is small (image tokens attend to prompt
     tokens): scores held transposed (nh*Tk, Tq) so the per-head softmax over
-    Tk runs on cheap static sublane slices."""
-    qh, kh, vh = _dense(p["q"], q), _dense(p["k"], k), _dense(p["v"], v)
+    Tk runs on cheap static sublane slices.  qh may be precomputed."""
+    qh = _dense(p["q"], q) if qh is None else qh
+    kh, vh = _dense(p["k"], k), _dense(p["v"], v)
     Tk, I = kh.shape
     hd = I // nh
     kbd = _bd(kh, nh) * jnp.asarray(1.0 / math.sqrt(hd), kh.dtype)
@@ -104,7 +108,7 @@ def _attn_small_k(p, q, k, v, nh):
     # row (h,t) of V_bd is nonzero only in head h's columns, so one dot sums
     # exactly the right (t, head) pairs per output column.
     o = _contract(probs, _bd(vh, nh), (((0,), (0,))))      # (Tq, I) fp32
-    return _dense(p["out"], o.astype(q.dtype))
+    return _dense(p["out"], o.astype(v.dtype))  # v: token side, never None
 
 
 def _attention(p, q, k, v, num_heads):
@@ -115,11 +119,15 @@ def _attention(p, q, k, v, num_heads):
     return _attn_small_q(p, q, k, v, num_heads)
 
 
-def _block(p, queries, keys, query_pe, k_with_pe, num_heads, skip_first_pe):
+def _block(p, queries, keys, query_pe, k_with_pe, num_heads, skip_first_pe,
+           pre=None):
     """One TwoWayAttentionBlock (reference transformer.py:140-213) on 2D state.
 
     ``k_with_pe`` is keys + key_pe, computed by the caller (keys do not change
-    between the two cross attentions of a block)."""
+    between the two cross attentions of a block).  ``pre`` = (kh_t2i, vh_t2i,
+    qh_i2t) precomputed keys-side projections for the shared-base first block
+    (then k_with_pe/keys enter attention only through them and k_with_pe may
+    be None)."""
     if skip_first_pe:
         queries = _attention(p["self_attn"], queries, queries, queries,
                              num_heads)
@@ -129,9 +137,10 @@ def _block(p, queries, keys, query_pe, k_with_pe, num_heads, skip_first_pe):
                                        num_heads)
     queries = _layernorm(p["norm1"], queries)
 
+    kh1, vh1, qi1 = pre if pre is not None else (None, None, None)
     q = queries + query_pe
-    queries = queries + _attention(p["cross_attn_t2i"], q, k_with_pe, keys,
-                                   num_heads)
+    queries = queries + _attn_small_q(p["cross_attn_t2i"], q, k_with_pe,
+                                      keys, num_heads, kh=kh1, vh=vh1)
     queries = _layernorm(p["norm2"], queries)
 
     h = _dense(p["mlp"]["fc1"], queries)
@@ -139,8 +148,8 @@ def _block(p, queries, keys, query_pe, k_with_pe, num_heads, skip_first_pe):
     queries = _layernorm(p["norm3"], queries)
 
     q = queries + query_pe
-    keys = keys + _attention(p["cross_attn_i2t"], k_with_pe, q, queries,
-                             num_heads)
+    keys = keys + _attn_small_k(p["cross_attn_i2t"], k_with_pe, q, queries,
+                                num_heads, qh=qi1)
     keys = _layernorm(p["norm4"], keys)
     return queries, keys
 
@@ -180,8 +189,11 @@ def _mlp_stack(layers, x):
     return x
 
 
-def _decode_kernel(treedef, num_heads, depth, num_tokens,
+def _decode_kernel(treedef, num_heads, depth, num_tokens, shared,
                    keys_ref, pe_ref, tok_ref, *refs):
+    if shared:
+        kh1_ref, vh1_ref, qi1_ref = refs[0], refs[1], refs[2]
+        refs = refs[3:]
     leaf_refs = refs[:-2]
     m_out_ref, iou_out_ref = refs[-2], refs[-1]
     p = jax.tree_util.tree_unflatten(treedef, [r[...] for r in leaf_refs])
@@ -189,8 +201,28 @@ def _decode_kernel(treedef, num_heads, depth, num_tokens,
     keys = keys_ref[0]                                     # (L, C)
     key_pe = pe_ref[...].astype(keys.dtype)
     queries = tok_ref[0].astype(keys.dtype)                # (N, C)
-    queries, keys = _transformer(p["twt"], queries, keys, key_pe,
-                                 num_heads, depth)
+    if shared:
+        # the image state is identical across prompts until the first i2t
+        # update, so block 1's keys-side projections arrive precomputed
+        # (once per chunk, in XLA) instead of being recomputed per prompt
+        tp = p["twt"]
+        queries, keys = _block(
+            tp["layers"][0], queries, keys, queries, None, num_heads,
+            skip_first_pe=True,
+            pre=(kh1_ref[...], vh1_ref[...], qi1_ref[...]))
+        query_pe = tok_ref[0].astype(keys.dtype)
+        for i in range(1, depth):
+            k = keys + key_pe
+            queries, keys = _block(tp["layers"][i], queries, keys, query_pe,
+                                   k, num_heads, skip_first_pe=False)
+        q = queries + query_pe
+        k = keys + key_pe
+        queries = queries + _attention(tp["final_attn"], q, k, keys,
+                                       num_heads)
+        queries = _layernorm(tp["norm_final"], queries)
+    else:
+        queries, keys = _transformer(p["twt"], queries, keys, key_pe,
+                                     num_heads, depth)
     hp = p["head"]
 
     iou_out_ref[0] = _mlp_stack(hp["iou"], queries[0:1])    # (1, num_tokens)
@@ -279,6 +311,12 @@ def fused_twoway_apply(params: dict, image_embedding: jnp.ndarray,
     return q_out, k_out
 
 
+def _b2d(p):
+    """dense params with the bias reshaped to (1, -1), matching the
+    in-kernel convention so shared precomputation is bit-identical."""
+    return {"w": p["w"], "b": p["b"].reshape(1, -1)}
+
+
 def _convt_as_matmul(p):
     """(2,2,ci,co) conv_transpose weights -> (ci, 4*co) matmul form.
 
@@ -301,11 +339,18 @@ def fused_decode_apply(twt_params: dict, decoder_params: dict,
     (per-prompt keys, two conv_transpose feature maps, fp32 masks); here one
     prompt's entire pipeline stays in VMEM and only the low-res mask logits
     (bf16) and IoU predictions leave the chip.
+
+    If image_embedding has a leading dim of 1 while point_embedding has B
+    (the AMG case: one image, shared dense prompt), the kernel runs in
+    SHARED-BASE mode: the base is never broadcast/materialized per prompt
+    and block 1's keys-side projections are computed once in XLA.
     Returns (masks (B, num_tokens, 4S, 4S) in image dtype, iou (B, num_tokens)).
     """
-    B, Hs, Ws, C = image_embedding.shape
+    Bi, Hs, Ws, C = image_embedding.shape
+    B = point_embedding.shape[0]
+    share_base = Bi == 1 and B > 1
     L = Hs * Ws
-    keys = image_embedding.reshape(B, L, C)
+    keys = image_embedding.reshape(Bi, L, C)
     pe = image_pe.reshape(-1, L, C)[0]
     N = point_embedding.shape[1]
     tokens = point_embedding.astype(keys.dtype)
@@ -328,14 +373,32 @@ def fused_decode_apply(twt_params: dict, decoder_params: dict,
     leaf_specs = [pl.BlockSpec(a.shape, functools.partial(
         lambda nd, i: (0,) * nd, a.ndim)) for a in leaves]
 
+    extra_inputs, extra_specs = (), ()
+    if share_base:
+        # block-1 projections, identical for every prompt (same _dense
+        # semantics as in-kernel: bf16 dot, fp32 accumulate + bias, cast)
+        l0 = twt_params["layers"][0]
+        base = keys[0]
+        k1pe = base + pe.astype(base.dtype)
+        kh1 = _dense(_b2d(l0["cross_attn_t2i"]["k"]), k1pe)
+        vh1 = _dense(_b2d(l0["cross_attn_t2i"]["v"]), base)
+        qi1 = _dense(_b2d(l0["cross_attn_i2t"]["q"]), k1pe)
+        extra_inputs = (kh1, vh1, qi1)
+        extra_specs = tuple(pl.BlockSpec(a.shape, lambda i: (0, 0))
+                            for a in extra_inputs)
+        keys_spec = pl.BlockSpec((1, L, C), lambda i: (0, 0, 0))
+    else:
+        keys_spec = pl.BlockSpec((1, L, C), lambda i: (i, 0, 0))
+
     masks_perm, iou = pl.pallas_call(
         functools.partial(_decode_kernel, treedef, num_heads, depth,
-                          num_tokens),
+                          num_tokens, share_base),
         grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, L, C), lambda i: (i, 0, 0)),
+            keys_spec,
             shared,
             pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            *extra_specs,
             *leaf_specs,
         ],
         out_specs=[
@@ -349,7 +412,7 @@ def fused_decode_apply(twt_params: dict, decoder_params: dict,
         ],
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
-    )(keys, pe, tokens, *leaves)
+    )(keys, pe, tokens, *extra_inputs, *leaves)
 
     # un-permute: kernel mask columns are (di1,dj1, di2,dj2, token) per
     # low-res pixel; final pixel = (4i + 2*di1 + di2, 4j + 2*dj1 + dj2)

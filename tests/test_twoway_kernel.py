@@ -84,3 +84,36 @@ def test_fused_decode_bf16_close(tiny_cfg):
     scale = float(jnp.abs(m0.astype(jnp.float32)).max()) + 1e-6
     assert float(jnp.abs(m0.astype(jnp.float32)
                          - m1.astype(jnp.float32)).max()) / scale < 0.05
+
+
+def test_fused_decode_shared_base_matches_broadcast(tiny_cfg):
+    """AMG case: (1, S, S, C) image + B prompts takes the shared-base kernel
+    (base never broadcast, block-1 projections hoisted) and must equal the
+    per-prompt-broadcast path exactly."""
+    cfg = tiny_cfg
+    d = cfg.transformer_dim
+    p = mask_decoder.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, S = 4, 8
+    emb1 = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, d)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (S, S, d)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (B, 2, d)) * 0.5
+
+    num_tokens = cfg.num_multimask_outputs + 1
+    out_tok = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tok[None], (B, num_tokens + 1, d)), sparse],
+        axis=1)
+    # broadcast (per-prompt) fused path
+    embB = jnp.broadcast_to(emb1, (B, S, S, d))
+    m0, i0 = fused_decode_apply(p["transformer"], p, embB, pe, tokens,
+                                cfg.transformer_num_heads)
+    # shared-base fused path
+    m1, i1 = fused_decode_apply(p["transformer"], p, emb1, pe, tokens,
+                                cfg.transformer_num_heads)
+    assert jnp.abs(m0 - m1).max() < 1e-5
+    assert jnp.abs(i0 - i1).max() < 1e-5
+    # and against the unfused reference math
+    m2, i2 = mask_decoder.predict_masks(
+        p, cfg, emb1, pe, sparse, jnp.zeros((B, S, S, d)))
+    assert jnp.abs(m2 - m1).max() < 1e-5
+    assert jnp.abs(i2 - i1).max() < 1e-5
