@@ -250,9 +250,13 @@ def main():
 
         results = []
         for name in names:
-            r = subprocess.run(
-                [sys.executable, __file__, "--config", name],
-                capture_output=True, text=True, timeout=3600)
+            try:
+                r = subprocess.run(
+                    [sys.executable, __file__, "--config", name],
+                    capture_output=True, text=True, timeout=3600)
+            except Exception as e:  # timeout/hang: keep trying other configs
+                log(f"bench: {name} subprocess failed: {type(e).__name__}")
+                continue
             sys.stderr.write(r.stderr)
             line = next((ln for ln in r.stdout.splitlines()
                          if ln.startswith("{")), None)

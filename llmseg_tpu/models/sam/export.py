@@ -64,8 +64,11 @@ def make_decoder_fn(params: dict, cfg: SamConfig, *,
         w = has_mask_input.astype(dense_m.dtype)
         dense = w * dense_m + (1.0 - w) * dense_nm
         pe = prompt_encoder.dense_pe(pp, cfg.prompt.image_embedding_size)[None]
+        # impl="xla": a serialized artifact must have batch-size-independent
+        # numerics/dtype — the fused TPU kernel would switch mask logits to
+        # the image dtype for prompt batches >= 8
         masks, scores = mask_decoder.predict_masks(
-            pd, cfg.decoder, image_embedding, pe, sparse, dense)
+            pd, cfg.decoder, image_embedding, pe, sparse, dense, impl="xla")
 
         if use_stability_score:                       # onnx.py:135-138
             scores = amg_utils.calculate_stability_score(

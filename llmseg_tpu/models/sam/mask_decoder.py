@@ -63,14 +63,19 @@ def init(key, cfg: SamDecoderConfig, dtype=jnp.float32) -> dict:
 def predict_masks(p: dict, cfg: SamDecoderConfig,
                   image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
                   sparse_prompt: jnp.ndarray, dense_prompt: jnp.ndarray,
-                  dense_shared: bool = False
+                  dense_shared: bool = False, impl: str = "auto"
                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """reference predict_masks:116-164.
 
     image_embeddings: (B, S, S, C) or (1, S, S, C) broadcast over prompts;
     sparse_prompt: (B, N, C); dense_prompt: (B, S, S, C).
     Returns (masks (B, num_tokens, 4S, 4S), iou_pred (B, num_tokens)).
-    """
+
+    impl: "auto" routes AMG-scale prompt batches to the forward-only fused
+    Pallas kernel on TPU (masks in the image dtype); "xla" forces the
+    reference-structured path (fp32 mask logits, differentiable) — use it
+    when exporting a dtype-stable artifact or taking gradients through the
+    decoder."""
     B = sparse_prompt.shape[0]
     d = cfg.transformer_dim
     num_tokens = cfg.num_multimask_outputs + 1
@@ -81,7 +86,10 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
         [output_tokens, sparse_prompt.astype(output_tokens.dtype)], axis=1)
 
     S = image_embeddings.shape[1]
-    if B >= 8 and S * S >= 1024 and jax.default_backend() == "tpu":
+    from llmseg_tpu.ops.twoway_kernel import should_fuse
+
+    if impl != "xla" and (impl == "fused"
+                          or should_fuse(B, S * S, image_pe)):
         # AMG-scale prompt batches: transformer + upscale + hypernetwork +
         # IoU head as ONE Pallas program per prompt (see ops/twoway_kernel);
         # masks come back in the input dtype (bf16 end-to-end under AMG).
@@ -125,11 +133,11 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
 
 def apply(p: dict, cfg: SamDecoderConfig, image_embeddings, image_pe,
           sparse_prompt, dense_prompt, multimask_output: bool = True,
-          dense_shared: bool = False):
+          dense_shared: bool = False, impl: str = "auto"):
     """reference MaskDecoder.forward:77-114: slice multimask (1:4) or single (0:1)."""
     masks, iou_pred = predict_masks(p, cfg, image_embeddings, image_pe,
                                     sparse_prompt, dense_prompt,
-                                    dense_shared=dense_shared)
+                                    dense_shared=dense_shared, impl=impl)
     if multimask_output:
         return masks[:, 1:], iou_pred[:, 1:]
     return masks[:, 0:1], iou_pred[:, 0:1]

@@ -126,12 +126,14 @@ def apply(p: dict, image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
     (the fused kernel is forward-only; nothing differentiates through this
     module — the selection head uses block_apply directly)."""
     B, Hs, Ws, C = image_embedding.shape
-    if impl == "fused" or (impl == "auto" and B >= 8 and Hs * Ws >= 1024
-                           and jax.default_backend() == "tpu"):
-        from llmseg_tpu.ops.twoway_kernel import fused_twoway_apply
+    if impl != "xla":
+        from llmseg_tpu.ops.twoway_kernel import (fused_twoway_apply,
+                                                  should_fuse)
 
-        return fused_twoway_apply(p, image_embedding, image_pe,
-                                  point_embedding, num_heads)
+        if impl == "fused" or (impl == "auto"
+                               and should_fuse(B, Hs * Ws, image_pe)):
+            return fused_twoway_apply(p, image_embedding, image_pe,
+                                      point_embedding, num_heads)
     keys = image_embedding.reshape(B, Hs * Ws, C)
     if image_pe.ndim == 3:                       # (S, S, C)
         key_pe = image_pe.reshape(1, Hs * Ws, C)

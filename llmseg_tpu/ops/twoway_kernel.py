@@ -30,6 +30,18 @@ def _interpret():
     return jax.default_backend() != "tpu"
 
 
+def should_fuse(num_prompts: int, num_image_tokens: int,
+                image_pe=None) -> bool:
+    """Single source of truth for routing decode-side work to the fused
+    kernels (used by two_way_transformer.apply AND mask_decoder): big prompt
+    batches on TPU.  A genuinely per-batch positional encoding is NOT
+    supported by the fused path (it reads one shared pe) and falls back."""
+    if image_pe is not None and image_pe.ndim == 4 and image_pe.shape[0] > 1:
+        return False
+    return (num_prompts >= 8 and num_image_tokens >= 1024
+            and jax.default_backend() == "tpu")
+
+
 def _dense(p, x):
     # Mosaic requires a 32-bit matmul accumulator for bf16 operands.
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32)
@@ -154,9 +166,16 @@ def _block(p, queries, keys, query_pe, k_with_pe, num_heads, skip_first_pe,
     return queries, keys
 
 
-def _transformer(p, queries, keys, key_pe, num_heads, depth):
+def _transformer(p, queries, keys, key_pe, num_heads, depth, pre0=None):
+    """pre0: precomputed keys-side projections for block 0 (shared-base
+    mode) — block 0 then never touches keys/key_pe directly."""
     query_pe = queries
     for i in range(depth):
+        if i == 0 and pre0 is not None:
+            queries, keys = _block(p["layers"][0], queries, keys, query_pe,
+                                   None, num_heads, skip_first_pe=True,
+                                   pre=pre0)
+            continue
         k = keys + key_pe
         queries, keys = _block(p["layers"][i], queries, keys, query_pe, k,
                                num_heads, skip_first_pe=(i == 0))
@@ -201,28 +220,12 @@ def _decode_kernel(treedef, num_heads, depth, num_tokens, shared,
     keys = keys_ref[0]                                     # (L, C)
     key_pe = pe_ref[...].astype(keys.dtype)
     queries = tok_ref[0].astype(keys.dtype)                # (N, C)
-    if shared:
-        # the image state is identical across prompts until the first i2t
-        # update, so block 1's keys-side projections arrive precomputed
-        # (once per chunk, in XLA) instead of being recomputed per prompt
-        tp = p["twt"]
-        queries, keys = _block(
-            tp["layers"][0], queries, keys, queries, None, num_heads,
-            skip_first_pe=True,
-            pre=(kh1_ref[...], vh1_ref[...], qi1_ref[...]))
-        query_pe = tok_ref[0].astype(keys.dtype)
-        for i in range(1, depth):
-            k = keys + key_pe
-            queries, keys = _block(tp["layers"][i], queries, keys, query_pe,
-                                   k, num_heads, skip_first_pe=False)
-        q = queries + query_pe
-        k = keys + key_pe
-        queries = queries + _attention(tp["final_attn"], q, k, keys,
-                                       num_heads)
-        queries = _layernorm(tp["norm_final"], queries)
-    else:
-        queries, keys = _transformer(p["twt"], queries, keys, key_pe,
-                                     num_heads, depth)
+    # shared mode: the image state is identical across prompts until the
+    # first i2t update, so block 1's keys-side projections arrive
+    # precomputed (once per chunk, in XLA) instead of per prompt
+    pre0 = ((kh1_ref[...], vh1_ref[...], qi1_ref[...]) if shared else None)
+    queries, keys = _transformer(p["twt"], queries, keys, key_pe,
+                                 num_heads, depth, pre0=pre0)
     hp = p["head"]
 
     iou_out_ref[0] = _mlp_stack(hp["iou"], queries[0:1])    # (1, num_tokens)
