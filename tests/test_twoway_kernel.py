@@ -117,3 +117,20 @@ def test_fused_decode_shared_base_matches_broadcast(tiny_cfg):
         p, cfg, emb1, pe, sparse, jnp.zeros((B, S, S, d)))
     assert jnp.abs(m2 - m1).max() < 1e-5
     assert jnp.abs(i2 - i1).max() < 1e-5
+
+
+def test_should_fuse_rejects_per_batch_pe():
+    from llmseg_tpu.ops.twoway_kernel import should_fuse
+
+    pe_shared3 = jnp.zeros((8, 8, 16))
+    pe_shared4 = jnp.zeros((1, 8, 8, 16))
+    pe_batched = jnp.zeros((4, 8, 8, 16))
+    # per-batch pe is unsupported by the fused kernel: must always fall back
+    assert not should_fuse(64, 4096, pe_batched)
+    # shared pe decisions depend only on scale/backend (False here: CPU)
+    import jax as _jax
+    expect = _jax.default_backend() == "tpu"
+    assert should_fuse(64, 4096, pe_shared3) == expect
+    assert should_fuse(64, 4096, pe_shared4) == expect
+    assert not should_fuse(4, 4096, pe_shared3)      # too few prompts
+    assert not should_fuse(64, 256, pe_shared3)      # too few image tokens
