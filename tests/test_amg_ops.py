@@ -96,3 +96,37 @@ def test_nms_suppression_chain_revival():
     scores = jnp.array([0.9, 0.8, 0.7])
     keep = nms.nms(boxes, scores, iou_threshold=0.2)
     np.testing.assert_array_equal(np.asarray(keep), [True, False, True])
+
+
+def test_amg_chunking_invariance():
+    """points_per_batch only changes scheduling, never the annotations:
+    decode is per-prompt independent, and filters/NMS/top-K see the same
+    candidate set in the same order regardless of chunk size."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models.sam import sam as sam_lib
+    from llmseg_tpu.models.sam.amg import AutomaticMaskGenerator
+    from tests.test_parity_amg import _blob_image, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    params = sam_lib.init(jax.random.PRNGKey(0), cfg)
+    img = _blob_image()
+    filt = dict(points_per_side=4, pred_iou_thresh=0.0,
+                stability_score_thresh=0.0, max_masks=32)
+    anns = {}
+    for ppb in (4, 16):
+        gen = AutomaticMaskGenerator(params, cfg,
+                                     C.AMGConfig(points_per_batch=ppb, **filt))
+        anns[ppb] = gen.generate(img)
+    a, b = anns[4], anns[16]
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        assert x["segmentation"] == y["segmentation"]
+        np.testing.assert_allclose(x["predicted_iou"], y["predicted_iou"],
+                                   rtol=1e-5)
+        np.testing.assert_allclose(x["stability_score"], y["stability_score"],
+                                   rtol=1e-5)
