@@ -8,12 +8,19 @@ pooling over K=50 proposals, and the selection head.  SAM proposal generation
 is offline in the reference (prepare_datasets) and is excluded, exactly as in
 reference validate_threshold (training.py:690-870).
 
-Round-2 scope (VERDICT #6): batch sweep {1, 4} (batch 8 documented OOM —
-see the sweep comment), per-tower ms breakdown, and vs_baseline = achieved
-model FLOP/s over the v5e bf16 peak (MFU), all logged to stderr; the
-headline JSON line reports the best sweep point.  Per-tower timings chain 8
-steps in one program via lax.scan: the remote-TPU tunnel costs ~25 ms per
-executable dispatch, which would otherwise dominate sub-10ms measurements.
+Round-3 robustness (VERDICT r2 #1/#2/#5/#7):
+  * every batch point retries once after a ~110 s backoff (repeated OOMs
+    wedge the TPU backend for ~2 min; it recovers on its own),
+  * a failed batch size no longer aborts the sweep,
+  * the orchestrator re-runs a failed flagship subprocess once before
+    falling back to llmseg_small,
+  * per-tower timings run in their OWN subprocesses (`--tower`), so the 7B
+    tower breakdown cannot OOM against the sweep's leftover buffers,
+  * an int8 weight-only pass (`--quant 8`, reference load_8bit,
+    model/llava/model/builder.py:40-47) halves weight HBM (13.5 -> 6.8 GB),
+    unlocks the batch-8 point, and logs a quality delta vs bf16
+    (top-1 agreement + max |dsim| on the same batch),
+  * `vs_baseline` is MFU vs the v5e bf16 peak; the metric string says so.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -25,6 +32,8 @@ import sys
 import time
 
 V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
+RETRY_SLEEP_S = 110      # wedged-backend recovery time is ~2 min
+TOWERS = ("dino", "clip", "llama", "select_head")
 
 
 def log(*a):
@@ -110,7 +119,23 @@ def _timeit_scan(fn, args, iters=8, repeats=3):
     return min(ts) / iters, compile_s, val / iters
 
 
-def run(config_name: str):
+def _with_retry(label, attempt, attempts=2):
+    """Run attempt() with one retry after a backoff: transient
+    RESOURCE_EXHAUSTED/ABORTED states on the shared chip clear in ~2 min
+    (BENCH_r02 lost the flagship number to exactly this)."""
+    for i in range(attempts):
+        try:
+            return attempt()
+        except Exception as e:
+            log(f"bench: {label} attempt {i + 1}/{attempts} failed: "
+                f"{type(e).__name__}: {str(e)[:200]}")
+            if i + 1 < attempts:
+                log(f"bench: sleeping {RETRY_SLEEP_S}s for backend recovery")
+                time.sleep(RETRY_SLEEP_S)
+    return None
+
+
+def _setup(config_name: str):
     import jax
     import jax.numpy as jnp
 
@@ -122,14 +147,17 @@ def run(config_name: str):
         log(f"bench: compile cache unavailable: {e}")
 
     from llmseg_tpu import config as C
-    from llmseg_tpu.data.synthetic import make_batch
-    from llmseg_tpu.models import llama, llava, llmseg, selection_head
 
     cfg = getattr(C, config_name)()
-    dtype = jnp.bfloat16
-    TEXT_LEN = 512
     log(f"bench: config={config_name} backend={jax.default_backend()} "
         f"devices={jax.devices()}")
+    return cfg, jnp.bfloat16
+
+
+def _init_params(cfg, dtype):
+    import jax
+
+    from llmseg_tpu.models import llmseg
 
     t0 = time.perf_counter()
     with jax.default_device(jax.devices()[0]):
@@ -137,6 +165,18 @@ def run(config_name: str):
             jax.random.PRNGKey(0))
     jax.block_until_ready(params)
     log(f"bench: init {time.perf_counter() - t0:.1f}s")
+    return params
+
+
+def run(config_name: str, quant_bits: int | None = None):
+    import jax
+
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg, dtype = _setup(config_name)
+    TEXT_LEN = 512
+    params = _init_params(cfg, dtype)
 
     flops = model_flops_per_image(cfg, TEXT_LEN)
     log(f"bench: analytic fwd FLOPs/image = {flops / 1e12:.2f} TFLOP")
@@ -145,79 +185,163 @@ def run(config_name: str):
     # the ~25 ms host dispatch overlaps device execution across the 8 queued
     # iterations (<3% inflation), and scan-chaining the FULL 7B model inside
     # a while loop crashes the remote compile helper.  _timeit_scan is for
-    # the small per-tower programs below, where 25 ms would swamp the signal.
+    # the small per-tower programs (--tower), where 25 ms would swamp it.
     fn = jax.jit(
         lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"].sum())
 
+    probe_sim = None
+    if quant_bits:
+        # quality probe: bf16 similarities on a fixed batch BEFORE
+        # quantizing (weights are then mutated in place; both full trees
+        # cannot coexist in 16 GB)
+        probe = make_batch(cfg, num_images=1, rows_per_image=1,
+                           text_len=TEXT_LEN, dtype=dtype)
+
+        def _probe():
+            return jax.device_get(jax.jit(
+                lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"]
+            )(params, probe))
+
+        probe_sim = _with_retry("bf16 probe", _probe)
+        from llmseg_tpu.ops import quant
+
+        t0 = time.perf_counter()
+        quant.quantize_llama_inplace(params["llava"]["llm"],
+                                     bits=quant_bits)
+        jax.block_until_ready(params["llava"]["llm"])
+        log(f"bench: int{quant_bits} weight-only quantization "
+            f"{time.perf_counter() - t0:.1f}s")
+        if probe_sim is not None:
+            def _probe_q():
+                return jax.device_get(jax.jit(
+                    lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"]
+                )(params, probe))
+
+            q_sim = _with_retry(f"int{quant_bits} probe", _probe_q)
+            if q_sim is not None:
+                import numpy as np
+
+                a = np.asarray(probe_sim, np.float32)
+                b = np.asarray(q_sim, np.float32)
+                top1 = float(np.mean(a.argmax(-1) == b.argmax(-1)))
+                log(f"bench: int{quant_bits} quality vs bf16: "
+                    f"top1_agreement={top1:.3f} "
+                    f"max|dsim|={float(np.abs(a - b).max()):.4f} "
+                    f"(random-init weights; real-weight delta needs "
+                    f"checkpoints, see COMPONENTS.md gap 1)")
+        del probe
+
     # ---- batch sweep ----
-    # batch 8 is omitted for the 7B config: bf16 weights alone are 13.5 GB
-    # of the 16 GB HBM and the batch-8 program fails to compile (verified
-    # 2026-08-16); batch 4 already shows flat img/s vs batch 1, i.e. the
-    # pipeline is compute-bound at batch 1 and latency is the binding
-    # constraint (VERDICT r1 #6).
+    # bf16 7B: batch 8 cannot fit (13.5 GB weights of 16 GB HBM, verified
+    # 2026-08-16); int8 frees 6.7 GB and sweeps {1, 4, 8}.
+    sizes = (1, 4, 8) if quant_bits else (1, 4)
     results = {}
-    for bsz in (1, 4):
-        try:
+    for bsz in sizes:
+        def _point(bsz=bsz):
             batch = make_batch(cfg, num_images=bsz, rows_per_image=1,
                                text_len=TEXT_LEN, dtype=dtype)
             dt, compile_s, val = _timeit(fn, params, batch)
-            ips = bsz / dt
-            mfu = flops * ips / V5E_BF16_PEAK
-            results[bsz] = (ips, mfu)
-            log(f"bench: batch {bsz}: {dt * 1e3:.1f} ms/step, "
-                f"{ips:.2f} img/s, MFU {mfu * 100:.1f}% "
-                f"(compile {compile_s:.1f}s, val {val:.3f})")
-        except Exception as e:
-            log(f"bench: batch {bsz} failed: {type(e).__name__}: "
-                f"{str(e)[:200]}")
-            break
+            return dt, compile_s, val
+
+        r = _with_retry(f"batch {bsz}", _point)
+        if r is None:
+            continue            # a failed size must not abort the sweep
+        dt, compile_s, val = r
+        ips = bsz / dt
+        mfu = flops * ips / V5E_BF16_PEAK
+        results[bsz] = (ips, mfu)
+        log(f"bench: batch {bsz}: {dt * 1e3:.1f} ms/step, "
+            f"{ips:.2f} img/s, MFU {mfu * 100:.1f}% "
+            f"(compile {compile_s:.1f}s, val {val:.3f})")
 
     if not results:
         raise RuntimeError("no batch size fit")
+    best_bsz = max(results, key=lambda b: results[b][0])
+    ips, mfu = results[best_bsz]
+    return ips, mfu, best_bsz
 
-    # ---- per-tower breakdown (batch 1) ----
-    try:
-        import gc
 
-        del batch      # drop the batch-4 sweep buffers: the scan-of-llama
-        gc.collect()   # tower at 7B needs the headroom (13.5GB weights)
-        batch = make_batch(cfg, num_images=1, rows_per_image=1,
-                           text_len=TEXT_LEN, dtype=dtype)
-        lv = cfg.llava
-        f_dino = lambda p, b, x: llmseg.dino_features(
+def run_tower(config_name: str, tower: str):
+    """Time ONE tower in a fresh process (VERDICT r2 weak #3: in-process
+    tower scans at 7B OOM against the sweep's leftovers; isolating each
+    tower makes the breakdown reproducible from the committed bench)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llama, llava, llmseg, selection_head
+
+    cfg, dtype = _setup(config_name)
+    TEXT_LEN = 512
+    params = _init_params(cfg, dtype)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1,
+                       text_len=TEXT_LEN, dtype=dtype)
+    lv = cfg.llava
+
+    if tower == "dino":
+        f = lambda p, b, x: llmseg.dino_features(
             p, cfg, b["images_dino"] + x.astype(dtype)).sum()
-        f_clip = lambda p, b, x: llava.encode_images(
+        args = (params, batch)
+    elif tower == "clip":
+        f = lambda p, b, x: llava.encode_images(
             p["llava"], lv, b["images_clip"] + x.astype(dtype)).sum()
+        args = (params, batch)
+    elif tower == "llama":
         img_embeds = jax.jit(lambda p, b: llava.encode_images(
             p["llava"], lv, b["images_clip"]))(params, batch)
-        f_llm = lambda p, b, e, x: llava.forward(
+        f = lambda p, b, e, x: llava.forward(
             p["llava"], lv, input_ids=b["input_ids"],
             image_pos=b["image_pos"],
             image_embeds=e + x.astype(dtype)).sum()
+        args = (params, batch, img_embeds)
+    elif tower == "select_head":
         R, K, D = 1, cfg.max_proposals, cfg.select.dim
         pe = jnp.zeros((R, K, D), dtype)
         te = jnp.zeros((R, D), dtype)
         pv = jnp.ones((R, K), bool)
-        f_head = lambda p, x: selection_head.apply(
+        f = lambda p, x: selection_head.apply(
             p["select"], cfg.select, pe + x.astype(dtype), te, pv)[0].sum()
-        for name, f, args in (
-                ("dino", f_dino, (params, batch)),
-                ("clip", f_clip, (params, batch)),
-                ("llama", f_llm, (params, batch, img_embeds)),
-                ("select_head", f_head, (params,))):
-            try:
-                dt, _, _ = _timeit_scan(f, args, iters=8, repeats=2)
-                log(f"bench: tower {name}: {dt * 1e3:.2f} ms")
-            except Exception as e:  # scan-of-tower can OOM at 7B scale
-                log(f"bench: tower {name} failed: {type(e).__name__}: "
-                    f"{str(e)[:120]}")
-    except Exception as e:
-        log(f"bench: tower breakdown failed: {type(e).__name__}: "
-            f"{str(e)[:200]}")
+        args = (params,)
+    else:
+        raise ValueError(f"unknown tower {tower!r}")
 
-    best_bsz = max(results, key=lambda b: results[b][0])
-    ips, mfu = results[best_bsz]
-    return ips, mfu, best_bsz
+    r = _with_retry(f"tower {tower}",
+                    lambda: _timeit_scan(f, args, iters=8, repeats=2))
+    if r is None:
+        raise RuntimeError(f"tower {tower} failed twice")
+    dt, _, _ = r
+    log(f"bench: tower {tower}: {dt * 1e3:.2f} ms")
+    return dt
+
+
+def _result_line(config_name, bsz, ips, mfu, quant_bits=None):
+    tag = f",int{quant_bits}" if quant_bits else ""
+    return json.dumps({
+        "metric": (f"reasonseg_e2e_infer_images_per_sec_chip"
+                   f"[{config_name},batch{bsz}{tag},"
+                   f"vs_baseline=mfu_v5e_bf16]"),
+        "value": round(ips, 4),
+        "unit": "images/s",
+        "vs_baseline": round(mfu, 4),
+    })
+
+
+def _subprocess(argv, timeout=3600):
+    import subprocess
+
+    try:
+        r = subprocess.run([sys.executable, __file__] + argv,
+                           capture_output=True, text=True, timeout=timeout)
+    except Exception as e:       # timeout/hang: keep going
+        log(f"bench: subprocess {argv} failed: {type(e).__name__}")
+        return None
+    sys.stderr.write(r.stderr)
+    line = next((ln for ln in r.stdout.splitlines()
+                 if ln.startswith("{")), None)
+    if r.returncode == 0 and line:
+        return line
+    log(f"bench: subprocess {argv} rc={r.returncode}")
+    return None
 
 
 def main():
@@ -226,47 +350,59 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default=None,
                     help="bench one named config only")
+    ap.add_argument("--tower", default=None, choices=TOWERS,
+                    help="time one tower only (implies --config)")
+    ap.add_argument("--quant", type=int, default=None, choices=[8, 4],
+                    help="int weight-only quantized sweep (ref load_8bit)")
     args = ap.parse_args()
-    names = ([args.config] if args.config
-             else ["llmseg_7b", "llmseg_small"])
+
     if args.config:
         try:
-            ips, mfu, bsz = run(args.config)
-            print(json.dumps({
-                "metric": (f"reasonseg_e2e_infer_images_per_sec_chip"
-                           f"[{args.config},batch{bsz}]"),
-                "value": round(ips, 4),
-                "unit": "images/s",
-                "vs_baseline": round(mfu, 4),
-            }))
+            if args.tower:
+                dt = run_tower(args.config, args.tower)
+                print(json.dumps({
+                    "metric": f"tower_ms[{args.config},{args.tower}]",
+                    "value": round(dt * 1e3, 3), "unit": "ms",
+                    "vs_baseline": None}))
+            else:
+                ips, mfu, bsz = run(args.config, quant_bits=args.quant)
+                print(_result_line(args.config, bsz, ips, mfu, args.quant))
             return
         except Exception as e:
             log(f"bench: {args.config} failed: {type(e).__name__}: {e}")
     else:
-        # one subprocess per config: a 7B run leaves the 16GB chip too
-        # fragmented for a second model in-process, and this also reports
-        # every config instead of only the first (VERDICT r1 #6)
-        import subprocess
+        # Orchestrator: one subprocess per measurement — a 7B run leaves
+        # the 16 GB chip too fragmented for a second model in-process —
+        # and a failed flagship subprocess is retried once (VERDICT r2 #1:
+        # one transient OOM erased the round-2 flagship record).
+        headline = None
+        flagship = "llmseg_7b"
+        for attempt in (1, 2):
+            headline = _subprocess(["--config", flagship])
+            if headline:
+                log(f"bench: RESULT {flagship}: {headline}")
+                break
+            if attempt == 1:
+                log(f"bench: flagship retry after {RETRY_SLEEP_S}s")
+                time.sleep(RETRY_SLEEP_S)
 
-        results = []
-        for name in names:
-            try:
-                r = subprocess.run(
-                    [sys.executable, __file__, "--config", name],
-                    capture_output=True, text=True, timeout=3600)
-            except Exception as e:  # timeout/hang: keep trying other configs
-                log(f"bench: {name} subprocess failed: {type(e).__name__}")
-                continue
-            sys.stderr.write(r.stderr)
-            line = next((ln for ln in r.stdout.splitlines()
-                         if ln.startswith("{")), None)
-            if r.returncode == 0 and line:
-                results.append(line)
-                log(f"bench: RESULT {name}: {line}")
-            else:
-                log(f"bench: {name} subprocess rc={r.returncode}")
-        if results:
-            print(results[0])   # headline = flagship (first) config
+        # int8 sweep (batch 8 point) — headline only if bf16 failed twice
+        int8_line = _subprocess(["--config", flagship, "--quant", "8"])
+        if int8_line:
+            log(f"bench: RESULT {flagship} int8: {int8_line}")
+
+        # reproducible tower breakdown, each in its own process
+        for t in TOWERS:
+            _subprocess(["--config", flagship, "--tower", t], timeout=1800)
+
+        if not headline:
+            headline = int8_line
+        if not headline:
+            headline = _subprocess(["--config", "llmseg_small"])
+            if headline:
+                log(f"bench: RESULT llmseg_small: {headline}")
+        if headline:
+            print(headline)
             return
     print(json.dumps({"metric": "reasonseg_e2e_infer_images_per_sec_chip",
                       "value": 0.0, "unit": "images/s",

@@ -34,6 +34,13 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--quantize_bits", type=int, default=8, choices=[8, 4],
                    help="frozen-base weight width (reference load_8bit/"
                         "load_4bit equivalent)")
+    p.add_argument("--load_8bit", action="store_true",
+                   help="int8 weight-only LLM for inference (reference "
+                        "model/llava/model/builder.py:40-47); halves weight "
+                        "HBM, unlocks larger eval batches")
+    p.add_argument("--load_4bit", action="store_true",
+                   help="packed-int4 weight-only LLM for inference "
+                        "(reference builder.py:48-58)")
     p.add_argument("--model_max_length", type=int, default=512)
     p.add_argument("--out_dim", type=int, default=256)
     p.add_argument("--use_mm_start_end", action="store_true", default=True)

@@ -20,6 +20,10 @@ def main(argv=None):
     from llmseg_tpu.train.trainer import Trainer
 
     args = common.build_parser("train").parse_args(argv)
+    if (args.load_8bit or args.load_4bit) and not args.eval_only:
+        raise SystemExit("--load_8bit/--load_4bit are inference-only "
+                         "(reference builder.py loads them for eval); "
+                         "use --quantize_frozen for QLoRA training")
     common.maybe_init_multihost(args)
     cfg = common.to_config(args)
     lora_cfg = cfg.train.lora
@@ -44,6 +48,15 @@ def main(argv=None):
     trainer = Trainer(cfg, lora_cfg=lora_cfg, params=params, writer=writer)
     if args.auto_resume:
         trainer.maybe_resume()
+    if args.load_8bit or args.load_4bit:
+        # inference-time weight-only quantization AFTER any restore
+        # (reference load_8bit/load_4bit, model/llava/model/builder.py:
+        # 40-58).  In-place mutation of the frozen skeleton so the bf16
+        # and int trees never coexist on a 16 GB chip.
+        from llmseg_tpu.ops import quant
+
+        quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
+                                     bits=4 if args.load_4bit else 8)
 
     import jax
 

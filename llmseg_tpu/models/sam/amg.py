@@ -59,13 +59,25 @@ def _candidate_filters(low_masks, iou_pred, amg: AMGConfig, cfg: SamConfig,
 @functools.partial(jax.jit, static_argnames=("cfg", "amg", "points_total"))
 def amg_select(params: dict, cfg: SamConfig, amg: AMGConfig,
                image_embedding: jnp.ndarray, points: jnp.ndarray,
-               valid_hw: jnp.ndarray, points_total: int) -> Dict:
+               valid_hw: jnp.ndarray, points_total: int,
+               crop_box: Optional[jnp.ndarray] = None,
+               orig_box: Optional[jnp.ndarray] = None,
+               box_scale: Optional[jnp.ndarray] = None) -> Dict:
     """Device program: grid prompts -> filtered, NMS'd top-K candidates.
 
     image_embedding: (1, G, G, 256); points: (P, 2) in input-frame pixels;
     valid_hw: (2,) i32 DYNAMIC image extent — one compiled program serves
     every image size (the reference recompiles nothing because it is eager;
     a static extent here would recompile per unique (h, w)).
+
+    Crop-cascade mode (reference _process_crop/_process_batch,
+    automatic_mask_generator.py:217-321): crop_box/orig_box are (4,) xyxy
+    in FULL-image pixels and box_scale (2,) maps this program's input-frame
+    box coords back to the crop's original pixel frame; candidates whose
+    box touches the crop edge but not the image edge are dropped BEFORE
+    the within-crop NMS, exactly like the reference.  All three are dynamic
+    arrays, so the cascade reuses one compiled program across crops.
+
     Returns dict of fixed-shape arrays (K = amg.max_masks):
       masks_low (K, S, S) logits, iou (K,), stability (K,), boxes (K, 4)
       input-frame xyxy, points (K, 2), valid (K,).
@@ -103,6 +115,13 @@ def amg_select(params: dict, cfg: SamConfig, amg: AMGConfig,
     scale = cfg.encoder.img_size / S4
     boxes = boxes_low * scale                           # input-frame coords
     keep &= jnp.any(binary, axis=(-2, -1))              # drop empty masks
+
+    if crop_box is not None:
+        # drop candidates touching the crop edge but not the image edge
+        # (reference _process_batch, automatic_mask_generator.py:297-300)
+        sc = jnp.concatenate([box_scale, box_scale])    # (sx, sy, sx, sy)
+        keep &= ~amg_utils.is_box_near_crop_edge(boxes * sc, crop_box,
+                                                 orig_box)
 
     keep_nms = nms.nms(boxes, iou_pred, amg.box_nms_thresh, valid=keep)
 
@@ -175,6 +194,16 @@ class AutomaticMaskGenerator:
         assert max(h, w) <= self.cfg.encoder.img_size, (
             f"image {h}x{w} exceeds SAM input {self.cfg.encoder.img_size}; "
             "resize longest side first (cli/prepare.py does this)")
+        if self.amg.crop_n_layers > 0:
+            return self._submit_crops(image)
+        out = self._submit_one(image, self._grid)
+        return {"out": out, "hw": (h, w)}
+
+    def _submit_one(self, image: np.ndarray, grid: np.ndarray,
+                    crop_box=None, orig_hw=None) -> Dict:
+        """Encode + select for ONE frame (the full pre-resized image, or one
+        resized crop).  grid: (P, 2) in [0, 1]."""
+        h, w = image.shape[:2]
         # pad to the square input on host so encode compiles once per size
         s_in = self.cfg.encoder.img_size
         padded = np.zeros((s_in, s_in, 3), image.dtype)
@@ -185,49 +214,176 @@ class AutomaticMaskGenerator:
         region[:, :h, :w] = 1.0
         emb = _prep_encode(self.params, self.cfg, jnp.asarray(padded)[None],
                            jnp.asarray(region))
-        points = jnp.asarray(self._grid * np.array([w, h]), jnp.float32)
-        out = amg_select(self.params, self.cfg, self.amg, emb, points,
-                         jnp.asarray([h, w], jnp.int32), points.shape[0])
-        return {"out": out, "hw": (h, w)}
+        points = jnp.asarray(grid * np.array([w, h]), jnp.float32)
+        kw = {}
+        if crop_box is not None:
+            x0, y0, x1, y1 = crop_box
+            oh, ow = orig_hw
+            kw = dict(
+                crop_box=jnp.asarray([x0, y0, x1, y1], jnp.float32),
+                orig_box=jnp.asarray([0, 0, ow, oh], jnp.float32),
+                box_scale=jnp.asarray([(x1 - x0) / w, (y1 - y0) / h],
+                                      jnp.float32))
+        return amg_select(self.params, self.cfg, self.amg, emb, points,
+                          jnp.asarray([h, w], jnp.int32), points.shape[0],
+                          **kw)
+
+    def _submit_crops(self, image: np.ndarray) -> Dict:
+        """Crop cascade (reference _generate_masks/_process_crop,
+        automatic_mask_generator.py:189-258): layer-0 full frame plus
+        4^i overlapping crops per layer, each resized longest-side-to-input
+        (PIL bilinear, as predictor.set_image does) and run through the
+        same device program; cross-crop dedup happens in finish()."""
+        from llmseg_tpu.data import image_ops
+
+        h, w = image.shape[:2]
+        s_in = self.cfg.encoder.img_size
+        crop_boxes, layer_idxs = amg_utils.generate_crop_boxes(
+            (h, w), self.amg.crop_n_layers, self.amg.crop_overlap_ratio)
+        grids = amg_utils.build_all_layer_point_grids(
+            self.amg.points_per_side, self.amg.crop_n_layers,
+            self.amg.crop_n_points_downscale_factor)
+        crops = []
+        for (x0, y0, x1, y1), layer in zip(crop_boxes, layer_idxs):
+            crop = image[y0:y1, x0:x1]
+            ch, cw = crop.shape[:2]
+            # the reference upscales every crop so its longest side equals
+            # the SAM input size (predictor.set_image -> ResizeLongestSide)
+            if max(ch, cw) != s_in:
+                crop = image_ops.resize_longest_side(crop, s_in)
+            out = self._submit_one(crop, grids[layer],
+                                   crop_box=(x0, y0, x1, y1), orig_hw=(h, w))
+            crops.append({"out": out, "crop_box": (x0, y0, x1, y1),
+                          "rhw": crop.shape[:2]})
+        return {"mode": "crops", "crops": crops, "hw": (h, w)}
+
+    def _pull_survivors(self, out: Dict):
+        """Download one frame's survivor metadata; returns (n, small-dict)."""
+        small = jax.device_get({k: out[k] for k in
+                                ("valid", "iou", "stability", "boxes",
+                                 "points")})
+        return int(small["valid"].sum()), small
+
+    def _bucket(self, n: int) -> int:
+        """Bucket survivor counts to powers of two so the download programs
+        compile a handful of shapes, not one per image."""
+        return min(max(8, 1 << (n - 1).bit_length()), self.amg.max_masks)
 
     def finish(self, handle: Dict) -> List[Dict]:
         """Pull the device results of a submit() and finish on host
         (upscale survivor masks, RLE encode, schema assembly)."""
-        out = handle["out"]
+        h, w = handle["hw"]
+        if handle.get("mode") == "crops":
+            masks, iou, stability, pts, crop_boxes = self._finish_crops(
+                handle)
+        else:
+            out = handle["out"]
+            s_in = self.cfg.encoder.img_size
+            n, small = self._pull_survivors(out)
+            if n == 0:
+                return []
+            # upscale to the full square input, download BIT-PACKED
+            # (8x smaller transfer), crop on host
+            packed = jax.device_get(
+                upscale_binary(out["masks_low"][:self._bucket(n)],
+                               (s_in, s_in), self.cfg.mask_threshold))
+            masks = np.unpackbits(packed[:n], axis=-1,
+                                  count=s_in).reshape(n, s_in, s_in)
+            masks = masks[:, :h, :w].astype(bool)
+            iou = small["iou"][:n]
+            stability = small["stability"][:n]
+            pts = small["points"][:n]
+            crop_boxes = [(0, 0, w, h)] * n
+        return self._assemble(masks, iou, stability, pts, crop_boxes, h, w)
+
+    def _finish_crops(self, handle: Dict):
+        """Assemble full-frame survivor masks from every crop, then
+        cross-crop NMS preferring smaller crops (reference _generate_masks,
+        automatic_mask_generator.py:204-214)."""
         h, w = handle["hw"]
         s_in = self.cfg.encoder.img_size
-        # ONE host transfer for all the small outputs
-        small = jax.device_get({k: out[k] for k in
-                                ("valid", "iou", "stability", "boxes",
-                                 "points")})
-        valid = small["valid"]
-        n = int(valid.sum())
+        all_masks, all_iou, all_stab, all_pts, all_crop = [], [], [], [], []
+        for c in handle["crops"]:
+            out = c["out"]
+            x0, y0, x1, y1 = c["crop_box"]
+            rh, rw = c["rhw"]
+            ch, cw = y1 - y0, x1 - x0
+            n, small = self._pull_survivors(out)
+            if n == 0:
+                continue
+            low = np.asarray(jax.device_get(
+                out["masks_low"][:self._bucket(n)]), np.float32)[:n]
+            for i in range(n):
+                # reference postprocess_masks (modeling/sam.py:137-172):
+                # low-res logits -> square input -> slice valid extent ->
+                # original crop size -> threshold; then uncrop into the
+                # full frame (amg.py uncrop_masks)
+                up = amg_utils.bilinear_resize_np(low[i], (s_in, s_in))
+                up = up[:rh, :rw]
+                m = (amg_utils.bilinear_resize_np(up, (ch, cw))
+                     > self.cfg.mask_threshold)
+                if not m.any():
+                    continue
+                canvas = np.zeros((h, w), bool)
+                canvas[y0:y1, x0:x1] = m
+                all_masks.append(canvas)
+                all_iou.append(small["iou"][i])
+                all_stab.append(small["stability"][i])
+                # uncrop points back to full-frame pixels (amg.py:239-250)
+                sx, sy = cw / rw, ch / rh
+                all_pts.append([small["points"][i][0] * sx + x0,
+                                small["points"][i][1] * sy + y0])
+                all_crop.append((x0, y0, x1, y1))
+        if not all_masks:
+            return [], [], [], [], []
+        masks = np.stack(all_masks)
+        iou = np.asarray(all_iou)
+        stability = np.asarray(all_stab)
+        pts = np.asarray(all_pts)
+        if len(handle["crops"]) > 1:
+            # cross-crop dedup, smaller crops preferred (score = 1 / crop
+            # area, reference automatic_mask_generator.py:204-214)
+            boxes = _mask_boxes_np(masks)
+            scores = np.asarray([1.0 / ((cb[2] - cb[0]) * (cb[3] - cb[1]))
+                                 for cb in all_crop])
+            keep = amg_utils.nms_host(boxes, scores,
+                                      self.amg.crop_nms_thresh)
+            keep = np.sort(keep)
+            masks, iou, stability, pts = (masks[keep], iou[keep],
+                                          stability[keep], pts[keep])
+            all_crop = [all_crop[i] for i in keep]
+        return masks, iou, stability, pts, all_crop
+
+    def _assemble(self, masks, iou, stability, pts, crop_boxes,
+                  h: int, w: int) -> List[Dict]:
+        """Small-region cleanup + re-dedup + reference-schema annotations."""
+        n = len(masks)
         if n == 0:
             return []
-        # bucket the survivor count to powers of two so upscale_binary
-        # compiles a handful of shapes, not one per image; upscale to the
-        # full square input, download BIT-PACKED, crop on host
-        n_buck = min(max(8, 1 << (n - 1).bit_length()), self.amg.max_masks)
-        packed = jax.device_get(
-            upscale_binary(out["masks_low"][:n_buck], (s_in, s_in),
-                           self.cfg.mask_threshold))
-        masks = np.unpackbits(packed[:n], axis=-1,
-                              count=s_in).reshape(n, s_in, s_in)
-        masks = masks[:, :h, :w]
-        iou = small["iou"][:n]
-        stability = small["stability"][:n]
-        boxes = small["boxes"][:n]
-        pts = small["points"][:n]
-
-        anns = []
-        for i in range(n):
-            m = masks[i]
-            if self.amg.min_mask_region_area > 0:
-                m, _ = amg_utils.remove_small_regions(
+        if self.amg.min_mask_region_area > 0:
+            # reference postprocess_small_regions (automatic_mask_
+            # generator.py:323-372): remove holes/islands, then RE-RUN box
+            # NMS with score 1.0 for unchanged masks and 0.0 for changed
+            # ones, so a cleaned-up duplicate of an untouched mask dies
+            cleaned, unchanged = [], []
+            for m in masks:
+                mm, ch_h = amg_utils.remove_small_regions(
                     m.astype(bool), self.amg.min_mask_region_area, "holes")
-                m, _ = amg_utils.remove_small_regions(
-                    m, self.amg.min_mask_region_area, "islands")
-                m = m.astype(np.uint8)
+                mm, ch_i = amg_utils.remove_small_regions(
+                    mm, self.amg.min_mask_region_area, "islands")
+                cleaned.append(mm)
+                unchanged.append(not (ch_h or ch_i))
+            masks = np.stack(cleaned)
+            boxes = _mask_boxes_np(masks)
+            keep = np.sort(amg_utils.nms_host(
+                boxes, np.asarray(unchanged, np.float32),
+                max(self.amg.box_nms_thresh, self.amg.crop_nms_thresh)))
+            masks, iou, stability, pts = (masks[keep], iou[keep],
+                                          stability[keep], pts[keep])
+            crop_boxes = [crop_boxes[i] for i in keep]
+        anns = []
+        for i in range(len(masks)):
+            m = masks[i].astype(np.uint8)
             r = rle.encode(m)
             area = rle.area(r)
             if area == 0:
@@ -237,6 +393,7 @@ class AutomaticMaskGenerator:
             ys, xs = np.nonzero(m)
             bbox = [float(xs.min()), float(ys.min()),
                     float(xs.max() - xs.min()), float(ys.max() - ys.min())]
+            cb = crop_boxes[i]
             anns.append({
                 "segmentation": r,
                 "area": int(area),
@@ -244,7 +401,21 @@ class AutomaticMaskGenerator:
                 "predicted_iou": float(iou[i]),
                 "point_coords": [[float(pts[i][0]), float(pts[i][1])]],
                 "stability_score": float(stability[i]),
-                "crop_box": [0, 0, w, h],
+                # crop_box wire format is xywh (box_xyxy_to_xywh, reference
+                # automatic_mask_generator.py:177)
+                "crop_box": [int(cb[0]), int(cb[1]),
+                             int(cb[2] - cb[0]), int(cb[3] - cb[1])],
             })
         anns.sort(key=lambda a: a["area"], reverse=True)
         return anns
+
+
+def _mask_boxes_np(masks: np.ndarray) -> np.ndarray:
+    """(N, H, W) bool -> inclusive-edge xyxy boxes, zeros for empty masks
+    (host mirror of amg_utils.batched_mask_to_box)."""
+    out = np.zeros((len(masks), 4), np.float64)
+    for i, m in enumerate(masks):
+        ys, xs = np.nonzero(m)
+        if len(ys):
+            out[i] = [xs.min(), ys.min(), xs.max(), ys.max()]
+    return out

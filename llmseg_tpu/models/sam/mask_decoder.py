@@ -60,6 +60,38 @@ def init(key, cfg: SamDecoderConfig, dtype=jnp.float32) -> dict:
     }
 
 
+def _xla_tail(p: dict, cfg: SamDecoderConfig, src: jnp.ndarray,
+              image_pe: jnp.ndarray, tokens: jnp.ndarray
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Reference-structured decode from the summed src onward: two-way
+    transformer + upscale + hypernetwork + IoU head.  Fully differentiable
+    (twt.apply pinned to impl="xla" — its auto route is forward-only).
+    Returns (masks fp32, iou fp32)."""
+    B = tokens.shape[0]
+    d = cfg.transformer_dim
+    num_tokens = cfg.num_multimask_outputs + 1
+    S = src.shape[1]
+    if src.shape[0] == 1 and B > 1:
+        src = jnp.broadcast_to(src, (B,) + src.shape[1:])
+
+    hs, keys = twt.apply(p["transformer"], src, image_pe, tokens,
+                         cfg.transformer_num_heads, impl="xla")
+    iou_token_out = hs[:, 0]
+    mask_tokens_out = hs[:, 1:1 + num_tokens]
+
+    fmap = keys.reshape(B, S, S, d)
+    up = _convt(p["upscale_conv1"], fmap, 2)
+    up = jax.nn.gelu(L.layernorm2d(p["upscale_ln"], up))
+    up = jax.nn.gelu(_convt(p["upscale_conv2"], up, 2))      # (B, 4S, 4S, d/8)
+
+    hyper = jnp.stack([L.mlp_stack(mp, mask_tokens_out[:, i])
+                       for i, mp in enumerate(p["hyper_mlps"])], axis=1)
+    masks = jnp.einsum("bnc,bhwc->bnhw", hyper, up,
+                       preferred_element_type=jnp.float32)
+    iou_pred = L.mlp_stack(p["iou_head"], iou_token_out).astype(jnp.float32)
+    return masks, iou_pred
+
+
 def predict_masks(p: dict, cfg: SamDecoderConfig,
                   image_embeddings: jnp.ndarray, image_pe: jnp.ndarray,
                   sparse_prompt: jnp.ndarray, dense_prompt: jnp.ndarray,
@@ -71,11 +103,16 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
     sparse_prompt: (B, N, C); dense_prompt: (B, S, S, C).
     Returns (masks (B, num_tokens, 4S, 4S), iou_pred (B, num_tokens)).
 
-    impl: "auto" routes AMG-scale prompt batches to the forward-only fused
-    Pallas kernel on TPU (masks in the image dtype); "xla" forces the
-    reference-structured path (fp32 mask logits, differentiable) — use it
-    when exporting a dtype-stable artifact or taking gradients through the
-    decoder."""
+    impl: "auto" routes AMG-scale prompt batches to the fused Pallas kernel
+    on TPU (masks in the image dtype); "xla" forces the reference-structured
+    path (fp32 mask logits) — use it when exporting a dtype-stable artifact
+    or when results must be invariant to the prompt count crossing the
+    fuse threshold (the two paths differ by bf16 rounding).
+
+    Differentiation is always safe: the fused kernel is forward-only, so
+    the fused route is wrapped in a custom_vjp whose forward+backward run
+    the XLA path (grad-of-predict recomputes via _xla_tail; e.g. a
+    --train_mask_decoder dice/BCE loss just works at any prompt count)."""
     B = sparse_prompt.shape[0]
     d = cfg.transformer_dim
     num_tokens = cfg.num_multimask_outputs + 1
@@ -95,7 +132,8 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
         # masks come back in the input dtype (bf16 end-to-end under AMG).
         # When the image embedding AND dense prompt are shared (one image,
         # no per-prompt mask prompts), the base is NOT broadcast: the kernel
-        # reads it once per chunk and block-1 projections are hoisted.
+        # reads it once per chunk and layers[0]'s keys-side projections are
+        # hoisted.
         from llmseg_tpu.ops.twoway_kernel import fused_decode_apply
 
         if image_embeddings.shape[0] == 1 and dense_shared:
@@ -105,30 +143,35 @@ def predict_masks(p: dict, cfg: SamDecoderConfig,
             if src.shape[0] == 1 and B > 1:
                 src = jnp.broadcast_to(src, (B,) + src.shape[1:])
             src = src + dense_prompt
-        return fused_decode_apply(p["transformer"], p, src, image_pe,
-                                  tokens, cfg.transformer_num_heads)
+        nh = cfg.transformer_num_heads
+        out_dt = src.dtype
+
+        @jax.custom_vjp
+        def fused(p_, src_, pe_, tok_):
+            return fused_decode_apply(p_["transformer"], p_, src_, pe_,
+                                      tok_, nh)
+
+        def fused_fwd(p_, src_, pe_, tok_):
+            # AD path: forward AND backward through the differentiable XLA
+            # tail, so gradients are exact for the values used (the fused
+            # kernel has no VJP).  Output cast to the primal's dtype to
+            # satisfy custom_vjp's matching-aval contract.
+            out, vjp = jax.vjp(
+                lambda a, b, c, e: _xla_tail(a, cfg, b, c, e),
+                p_, src_, pe_, tok_)
+            return jax.tree.map(lambda x: x.astype(out_dt), out), vjp
+
+        def fused_bwd(vjp, cts):
+            return vjp(jax.tree.map(lambda c: c.astype(jnp.float32), cts))
+
+        fused.defvjp(fused_fwd, fused_bwd)
+        return fused(p, src, image_pe, tokens)
 
     src = image_embeddings
     if src.shape[0] == 1 and B > 1:
         src = jnp.broadcast_to(src, (B,) + src.shape[1:])
     src = src + dense_prompt
-
-    hs, keys = twt.apply(p["transformer"], src, image_pe, tokens,
-                         cfg.transformer_num_heads)
-    iou_token_out = hs[:, 0]
-    mask_tokens_out = hs[:, 1:1 + num_tokens]
-
-    src = keys.reshape(B, S, S, d)
-    up = _convt(p["upscale_conv1"], src, 2)
-    up = jax.nn.gelu(L.layernorm2d(p["upscale_ln"], up))
-    up = jax.nn.gelu(_convt(p["upscale_conv2"], up, 2))      # (B, 4S, 4S, d/8)
-
-    hyper = jnp.stack([L.mlp_stack(mp, mask_tokens_out[:, i])
-                       for i, mp in enumerate(p["hyper_mlps"])], axis=1)
-    masks = jnp.einsum("bnc,bhwc->bnhw", hyper, up,
-                       preferred_element_type=jnp.float32)
-    iou_pred = L.mlp_stack(p["iou_head"], iou_token_out)
-    return masks, iou_pred
+    return _xla_tail(p, cfg, src, image_pe, tokens)
 
 
 def apply(p: dict, cfg: SamDecoderConfig, image_embeddings, image_pe,

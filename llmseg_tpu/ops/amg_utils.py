@@ -122,6 +122,62 @@ def uncrop_points(points: jnp.ndarray, crop_box) -> jnp.ndarray:
     return points + jnp.asarray(crop_box[:2], points.dtype)
 
 
+def bilinear_resize_np(a: np.ndarray, out_hw: Tuple[int, int]) -> np.ndarray:
+    """Half-pixel-center bilinear resize on host (numpy), matching
+    torch.nn.functional.interpolate(mode='bilinear', align_corners=False)
+    and jax.image.resize('bilinear').  Used by the AMG crop cascade to
+    replicate the reference's two-stage mask upscale
+    (modeling/sam.py:137-172) without per-crop-shape XLA recompiles.
+
+    a: (..., H, W) float -> (..., oh, ow) float32."""
+    H, W = a.shape[-2:]
+    oh, ow = out_hw
+    a = a.astype(np.float32)
+    ys = (np.arange(oh) + 0.5) * (H / oh) - 0.5
+    xs = (np.arange(ow) + 0.5) * (W / ow) - 0.5
+    y0 = np.floor(ys).astype(np.int64)
+    x0 = np.floor(xs).astype(np.int64)
+    wy = (ys - y0).astype(np.float32)[:, None]
+    wx = (xs - x0).astype(np.float32)[None, :]
+    y0c, y1c = np.clip(y0, 0, H - 1), np.clip(y0 + 1, 0, H - 1)
+    x0c, x1c = np.clip(x0, 0, W - 1), np.clip(x0 + 1, 0, W - 1)
+    ia = a[..., y0c[:, None], x0c[None, :]]
+    ib = a[..., y0c[:, None], x1c[None, :]]
+    ic = a[..., y1c[:, None], x0c[None, :]]
+    id_ = a[..., y1c[:, None], x1c[None, :]]
+    return (ia * (1 - wy) * (1 - wx) + ib * (1 - wy) * wx
+            + ic * wy * (1 - wx) + id_ * wy * wx)
+
+
+def nms_host(boxes: np.ndarray, scores: np.ndarray,
+             iou_threshold: float) -> np.ndarray:
+    """Greedy NMS on host with torchvision semantics (inclusive-edge boxes
+    are NOT assumed: IoU uses the xyxy extents as-is, like torchvision's
+    (x1-x0)*(y1-y0)).  Returns kept indices in descending-score order.
+    Used where the candidate count is small and dynamic (cross-crop dedup,
+    small-region re-dedup) so fixed-shape device NMS would waste a compile
+    per survivor count."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.int64)
+    boxes = boxes.astype(np.float64)
+    order = np.argsort(-scores, kind="stable")
+    areas = ((boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1]))
+    keep = []
+    suppressed = np.zeros(len(boxes), bool)
+    for i in order:
+        if suppressed[i]:
+            continue
+        keep.append(i)
+        x0 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y0 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x1 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y1 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.maximum(x1 - x0, 0) * np.maximum(y1 - y0, 0)
+        iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+        suppressed |= iou > iou_threshold
+    return np.asarray(keep, np.int64)
+
+
 # ---------------------------------------------------------------------------
 # Host-side small-region cleanup (reference amg.py:268-292, cv2)
 # ---------------------------------------------------------------------------
@@ -140,7 +196,9 @@ def remove_small_regions(mask: np.ndarray, area_thresh: float,
 
     correct_holes = mode == "holes"
     working = (mask ^ correct_holes).astype(np.uint8)
-    labels, n = ndimage.label(working)
+    # 8-connectivity, matching the reference's
+    # cv2.connectedComponentsWithStats(working_mask, 8)
+    labels, n = ndimage.label(working, structure=np.ones((3, 3), np.int32))
     if n == 0:
         return mask, False
     sizes = ndimage.sum_labels(np.ones_like(working), labels,

@@ -116,12 +116,41 @@ def quantize_tree(params, predicate=None, bits: int = 8):
     return walk(params, ())
 
 
+def _llama_pred(path):
+    joined = "/".join(str(p) for p in path)
+    return "attn" in joined or "mlp" in joined or "lm_head" in joined
+
+
 def quantize_llama(llm_params: Dict, bits: int = 8) -> Dict:
     """Quantize LLaMA projection weights; embeddings and norms stay full
     precision (embedding rows are gathered, not matmul'd)."""
+    return quantize_tree(llm_params, _llama_pred, bits=bits)
 
-    def pred(path):
-        joined = "/".join(str(p) for p in path)
-        return "attn" in joined or "mlp" in joined or "lm_head" in joined
 
-    return quantize_tree(llm_params, pred, bits=bits)
+def quantize_llama_inplace(llm_params: Dict, bits: int = 8) -> Dict:
+    """In-place variant for memory-tight live trees (7B bf16 weights are
+    13.5 GB of a 16 GB chip: building a second quantized tree while the
+    first is still referenced would OOM).  Mutates the dicts leaf by leaf,
+    dropping each bf16 weight as soon as its int copy exists, so peak extra
+    HBM is one layer's weights, not the whole model's.  Donating the source
+    buffer into the jitted per-leaf quantizer lets XLA reuse it."""
+    assert bits in (8, 4), bits
+    qfn = jax.jit(quantize_dense if bits == 8 else quantize_dense4,
+                  donate_argnums=0)
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "w" in node and getattr(node["w"], "ndim", 0) == 2 and (
+                    _llama_pred(path)):
+                q = qfn(dict(node))
+                node.clear()
+                node.update(q)
+                return
+            for k, v in node.items():
+                walk(v, path + (k,))
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + (i,))
+
+    walk(llm_params, ())
+    return llm_params

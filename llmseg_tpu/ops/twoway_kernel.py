@@ -221,7 +221,7 @@ def _decode_kernel(treedef, num_heads, depth, num_tokens, shared,
     key_pe = pe_ref[...].astype(keys.dtype)
     queries = tok_ref[0].astype(keys.dtype)                # (N, C)
     # shared mode: the image state is identical across prompts until the
-    # first i2t update, so block 1's keys-side projections arrive
+    # first i2t update, so layers[0]'s keys-side projections arrive
     # precomputed (once per chunk, in XLA) instead of per prompt
     pre0 = ((kh1_ref[...], vh1_ref[...], qi1_ref[...]) if shared else None)
     queries, keys = _transformer(p["twt"], queries, keys, key_pe,
@@ -346,7 +346,7 @@ def fused_decode_apply(twt_params: dict, decoder_params: dict,
     If image_embedding has a leading dim of 1 while point_embedding has B
     (the AMG case: one image, shared dense prompt), the kernel runs in
     SHARED-BASE mode: the base is never broadcast/materialized per prompt
-    and block 1's keys-side projections are computed once in XLA.
+    and layers[0]'s keys-side projections are computed once in XLA.
     Returns (masks (B, num_tokens, 4S, 4S) in image dtype, iou (B, num_tokens)).
     """
     Bi, Hs, Ws, C = image_embedding.shape
@@ -378,7 +378,7 @@ def fused_decode_apply(twt_params: dict, decoder_params: dict,
 
     extra_inputs, extra_specs = (), ()
     if share_base:
-        # block-1 projections, identical for every prompt (same _dense
+        # layers[0] keys-side projections, identical for every prompt (same _dense
         # semantics as in-kernel: bf16 dot, fp32 accumulate + bias, cast)
         l0 = twt_params["layers"][0]
         base = keys[0]

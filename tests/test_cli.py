@@ -159,6 +159,14 @@ def test_train_cli_end_to_end(tmp_path):
     res = train_cli.main(argv + ["--eval_only", "--auto_resume"])
     assert res is not None and "giou" in res
 
+    # int8 weight-only inference (reference load_8bit, builder.py:40-47)
+    res8 = train_cli.main(argv + ["--eval_only", "--load_8bit"])
+    assert res8 is not None and "giou" in res8
+
+    # quantized load is fenced out of training (no silent no-op knobs)
+    with pytest.raises(SystemExit):
+        train_cli.main(argv + ["--load_8bit"])
+
 
 @pytest.mark.slow
 def test_finetune_and_validate_cli(tmp_path):

@@ -256,3 +256,102 @@ def test_amg_survivors_match_reference():
         i = (ra["segmentation"] & om).sum()
         u = (ra["segmentation"] | om).sum()
         assert i / max(u, 1) > 0.98
+
+
+@pytest.mark.slow
+def test_amg_crop_cascade_matches_reference():
+    """crop_n_layers=1 end-to-end: same tiny weights, full cascade (per-crop
+    generation + near-edge filter + uncrop + cross-crop NMS) vs the
+    reference (automatic_mask_generator.py:189-258).  Reference upscales
+    each crop to the SAM input via PIL bilinear (predictor.set_image) and
+    resizes mask logits back with two-stage torch bilinear; ours replicates
+    both stages (amg_utils.bilinear_resize_np), so masks match up to bf16
+    candidate-logit rounding."""
+    from model.segment_anything.automatic_mask_generator import \
+        SamAutomaticMaskGenerator
+
+    ref_sam = _build_ref_sam()
+    pe = ref_sam.prompt_encoder
+    orig_pe_forward = pe.forward
+    pe.forward = (lambda points, boxes, masks, text_embeds=None:
+                  orig_pe_forward(points, boxes, masks, text_embeds))
+    cfg = _tiny_cfg()
+    sd = {k: v.detach().numpy() for k, v in ref_sam.state_dict().items()}
+    params = TI.import_sam(sd, cfg)
+
+    filt = dict(points_per_side=6, points_per_batch=16, pred_iou_thresh=0.01,
+                stability_score_thresh=0.12, stability_score_offset=0.05,
+                box_nms_thresh=0.7, min_mask_region_area=0)
+    ref_gen = SamAutomaticMaskGenerator(
+        ref_sam, crop_n_layers=1, crop_nms_thresh=0.7,
+        crop_overlap_ratio=512 / 1500, crop_n_points_downscale_factor=1,
+        **filt)
+    our_gen = amg_lib.AutomaticMaskGenerator(
+        params, cfg, C.AMGConfig(max_masks=128, crop_n_layers=1, **filt))
+
+    image = _blob_image()
+    with torch.no_grad():
+        ref_anns = ref_gen.generate(image)
+    our_anns = our_gen.generate(image)
+    assert len(ref_anns) > 0
+
+    ref_masks = np.stack([a["segmentation"] for a in ref_anns])
+    our_masks = np.stack([rle.decode(a["segmentation"]).astype(bool)
+                          for a in our_anns])
+    assert len(our_anns) == len(ref_anns), (
+        f"kept counts differ: ref {len(ref_anns)} vs ours {len(our_anns)}")
+    inter = np.einsum("ahw,bhw->ab", ref_masks.astype(np.float64),
+                      our_masks.astype(np.float64))
+    union = (ref_masks.sum((1, 2))[:, None] + our_masks.sum((1, 2))[None, :]
+             - inter)
+    iou = inter / np.maximum(union, 1)
+    matched = iou.max(axis=1)
+    # small crop masks ride two extra bilinear resamples through bf16
+    # logits; allow a couple of boundary pixels of drift
+    assert (matched > 0.9).all(), f"unmatched reference masks: {matched}"
+
+    # crop_box wire format matches per best-IoU counterpart
+    j = iou.argmax(axis=1)
+    for ri, oi in enumerate(j):
+        assert list(map(int, ref_anns[ri]["crop_box"])) == \
+            list(map(int, our_anns[oi]["crop_box"]))
+
+
+@pytest.mark.slow
+def test_amg_small_regions_matches_reference():
+    """min_mask_region_area > 0 end-to-end vs the reference
+    postprocess_small_regions (hole/island removal + re-NMS)."""
+    from model.segment_anything.automatic_mask_generator import \
+        SamAutomaticMaskGenerator
+
+    ref_sam = _build_ref_sam()
+    pe = ref_sam.prompt_encoder
+    orig_pe_forward = pe.forward
+    pe.forward = (lambda points, boxes, masks, text_embeds=None:
+                  orig_pe_forward(points, boxes, masks, text_embeds))
+    cfg = _tiny_cfg()
+    sd = {k: v.detach().numpy() for k, v in ref_sam.state_dict().items()}
+    params = TI.import_sam(sd, cfg)
+
+    filt = dict(points_per_side=6, points_per_batch=16, pred_iou_thresh=0.01,
+                stability_score_thresh=0.12, stability_score_offset=0.05,
+                box_nms_thresh=1.5, min_mask_region_area=6)
+    ref_gen = SamAutomaticMaskGenerator(ref_sam, crop_n_layers=0, **filt)
+    our_gen = amg_lib.AutomaticMaskGenerator(
+        params, cfg, C.AMGConfig(max_masks=128, **filt))
+
+    image = _blob_image()
+    with torch.no_grad():
+        ref_anns = ref_gen.generate(image)
+    our_anns = our_gen.generate(image)
+    assert len(ref_anns) > 0
+    assert len(our_anns) == len(ref_anns)
+    ref_masks = np.stack([a["segmentation"] for a in ref_anns])
+    our_masks = np.stack([rle.decode(a["segmentation"]).astype(bool)
+                          for a in our_anns])
+    inter = np.einsum("ahw,bhw->ab", ref_masks.astype(np.float64),
+                      our_masks.astype(np.float64))
+    union = (ref_masks.sum((1, 2))[:, None] + our_masks.sum((1, 2))[None, :]
+             - inter)
+    iou = inter / np.maximum(union, 1)
+    assert (iou.max(axis=1) > 0.98).all()

@@ -96,3 +96,43 @@ def test_quantized4_llama_forward():
     b = np.asarray(h_q).ravel()
     corr = np.corrcoef(a, b)[0, 1]
     assert corr > 0.95, corr
+
+
+def test_quantize_llama_inplace_matches_functional():
+    """The memory-tight in-place path (bench.py int8 sweep) must produce
+    the same tree as quantize_llama."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ref = quant.quantize_llama(params, bits=8)
+    live = jax.tree.map(lambda x: x, params)   # fresh leaves to mutate
+    out = quant.quantize_llama_inplace(live, bits=8)
+    assert out is live
+
+    def cmp(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            np.testing.assert_array_equal(a, b)
+        else:   # scales: jitted max reduction order differs by ~1ulp
+            np.testing.assert_allclose(a, b, rtol=1e-6)
+
+    jax.tree.map(cmp, ref, out)
+
+
+def test_quantized_e2e_predict():
+    """int8 weight-only LLaMA inside the full predict path (reference
+    load_8bit inference, model/llava/model/builder.py:40-47)."""
+    from llmseg_tpu import config as C2
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg = C2.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    ref = llmseg.predict(params, cfg, batch)
+    quant.quantize_llama_inplace(params["llava"]["llm"], bits=8)
+    got = llmseg.predict(params, cfg, batch)
+    a = np.asarray(ref["pred_similarity"]).ravel()
+    b = np.asarray(got["pred_similarity"]).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+    np.testing.assert_array_equal(np.asarray(ref["prop_valid"]),
+                                  np.asarray(got["prop_valid"]))

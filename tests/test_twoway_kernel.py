@@ -134,3 +134,38 @@ def test_should_fuse_rejects_per_batch_pe():
     assert should_fuse(64, 4096, pe_shared4) == expect
     assert not should_fuse(4, 4096, pe_shared3)      # too few prompts
     assert not should_fuse(64, 256, pe_shared3)      # too few image tokens
+
+
+def test_fused_route_differentiable(tiny_cfg):
+    """grad through predict_masks with the fused route forced: the
+    custom_vjp falls back to the XLA tail for forward+backward (the Pallas
+    kernel is forward-only), so a --train_mask_decoder-style loss works at
+    any prompt count and matches the impl="xla" gradients exactly."""
+    cfg = tiny_cfg
+    d = cfg.transformer_dim
+    p = mask_decoder.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, S = 9, 8           # >= 8 prompts: the auto threshold on TPU
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, d)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (S, S, d)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (B, 2, d)) * 0.5
+    dense = jnp.broadcast_to(
+        jax.random.normal(jax.random.PRNGKey(4), (1, S, S, d)) * 0.1,
+        (B, S, S, d))
+
+    def loss(params, impl):
+        m, i = mask_decoder.predict_masks(params, cfg, emb, pe, sparse,
+                                          dense, impl=impl)
+        return (jnp.mean(m.astype(jnp.float32) ** 2)
+                + jnp.mean(i.astype(jnp.float32)))
+
+    g_fused = jax.grad(lambda q: loss(q, "fused"))(p)
+    g_xla = jax.grad(lambda q: loss(q, "xla"))(p)
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), g_fused, g_xla)
+    mx = max(jax.tree.leaves(diffs))
+    assert mx < 1e-5, mx
+
+    # value path under grad also uses the XLA tail (consistent fwd/bwd)
+    v_fused = loss(p, "xla")
+    v = jax.value_and_grad(lambda q: loss(q, "fused"))(p)[0]
+    assert abs(float(v) - float(v_fused)) < 1e-6
