@@ -64,6 +64,14 @@ def main(argv=None):
                    help="longest-side resize; 0 = SAM input size")
     p.add_argument("--points_per_side", type=int, default=32)
     p.add_argument("--points_per_batch", type=int, default=64)
+    p.add_argument("--pred_iou_thresh", type=float, default=0.88)
+    p.add_argument("--stability_score_thresh", type=float, default=0.95)
+    p.add_argument("--box_nms_thresh", type=float, default=0.7)
+    p.add_argument("--crop_n_layers", type=int, default=0,
+                   help="crop cascade layers (reference crop_n_layers; "
+                        "every LLM-Seg prepare script uses 0)")
+    p.add_argument("--crop_nms_thresh", type=float, default=0.7)
+    p.add_argument("--min_mask_region_area", type=int, default=0)
     p.add_argument("--hdf5", default="", help="also write reference h5 format")
     p.add_argument("--limit", type=int, default=0)
     args = p.parse_args(argv)
@@ -82,7 +90,13 @@ def main(argv=None):
 
     max_side = args.max_side or cfg.encoder.img_size
     amg_cfg = C.AMGConfig(points_per_side=args.points_per_side,
-                          points_per_batch=args.points_per_batch)
+                          points_per_batch=args.points_per_batch,
+                          pred_iou_thresh=args.pred_iou_thresh,
+                          stability_score_thresh=args.stability_score_thresh,
+                          box_nms_thresh=args.box_nms_thresh,
+                          crop_n_layers=args.crop_n_layers,
+                          crop_nms_thresh=args.crop_nms_thresh,
+                          min_mask_region_area=args.min_mask_region_area)
     gen = amg_lib.AutomaticMaskGenerator(params, cfg, amg_cfg)
 
     pattern = os.path.join(args.image_dir,

@@ -489,9 +489,12 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
         # blocks: the per-block diagonal clamp skips ~half the work.
         # s-tile VMEM budget: block_q * Sp * 4B <= ~7MB picks block_q=384
         # at S=4224 (1.11 -> 1.01 ms/layer vs 256; 512 is slower again and
-        # 1024 exceeds the 16MB kernel stack).
+        # 1024 exceeds the 16MB kernel stack).  fp32 inputs double every
+        # q/k/v/acc buffer, so halve the s-tile budget too (a 21.7MB stack
+        # blows the 16MB scoped-vmem limit at the DINOv2@896 shape).
         block_k = _round_up(S, 128)
-        budget_q = max((7_000_000 // (4 * block_k)) // 128 * 128, 128)
+        s_budget = 7_000_000 if q.dtype.itemsize <= 2 else 3_000_000
+        budget_q = max((s_budget // (4 * block_k)) // 128 * 128, 128)
         block_q = min(block_q, budget_q)
     Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
     # Mosaic accepts a block last dim EQUAL to the array dim, so D=64 (the

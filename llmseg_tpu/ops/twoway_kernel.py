@@ -118,7 +118,10 @@ def _attn_small_k(p, q, k, v, nh, qh=None):
         ps.append(e / jnp.sum(e, axis=0, keepdims=True))
     probs = jnp.concatenate(ps, axis=0).astype(vh.dtype)   # (nh*Tk, Tq)
     # row (h,t) of V_bd is nonzero only in head h's columns, so one dot sums
-    # exactly the right (t, head) pairs per output column.
+    # exactly the right (t, head) pairs per output column.  (Collapsing the
+    # out projection into the small side via associativity was measured
+    # NEUTRAL-to-worse here — 8.71 vs 8.58 ms/chunk — the kernel is
+    # layout-bound, not MXU-bound; kept in the reference-shaped form.)
     o = _contract(probs, _bd(vh, nh), (((0,), (0,))))      # (Tq, I) fp32
     return _dense(p["out"], o.astype(v.dtype))  # v: token side, never None
 
@@ -320,6 +323,329 @@ def _b2d(p):
     return {"w": p["w"], "b": p["b"].reshape(1, -1)}
 
 
+# ---------------------------------------------------------------------------
+# Low-rank factored shared-base decode
+#
+# In the AMG case every prompt shares ONE image base; each prompt's image
+# state diverges from it only through the i2t cross attentions, whose update
+# is P^T (V_bd W_out) + 1 b^T — rank <= nh*N (56) + 1.  LayerNorm then acts
+# per ROW (scale r_l) and per COLUMN (the shared LN scale vector), so the
+# whole keys state stays expressible as
+#
+#     keys_i = rho_i  (x)rows  (base . diag sigma_i)  +  A_i @ B_i
+#
+# with per-prompt rho (L,), A (L, R_i), B (R_i, C) and SHARED column scale
+# sigma_i (the product of LN scale vectors).  Every keys-side projection
+# then becomes  rho (x) G  +  A (B W)  + PE + bias  where G = (base sigma) W
+# and PE = pe W are computed ONCE PER CHUNK; the per-prompt MXU work drops
+# from O(L*C*C) full-width dots to O(L*C*R) rank-width dots (R <= 128), and
+# the (L, C) LayerNorms disappear into closed-form row statistics:
+#
+#     mean = rho*m + Abar rowmean(Bbar)
+#     E[x^2] = rho^2 q + (2 rho <Abar, base (Bbar sigma)^T> + Abar Gram Abar)/C
+#
+# (m, q = shared row stats of base sigma; Gram = Bbar Bbar^T).  Rank grows
+# by nh*N + 3 per block: depth-2 production ends at R = 118 < 128.
+# ---------------------------------------------------------------------------
+
+
+def _rowmean(x):
+    return jnp.mean(x.astype(jnp.float32), axis=-1)
+
+
+def _factored_shared(twt_params: dict, base: jnp.ndarray, pe: jnp.ndarray,
+                     conv1_w=None):
+    """Per-chunk shared precomputes (run in XLA, once per pallas_call).
+
+    base: (L, C) = image embedding + dense prompt; pe: (L, C).
+    Returns a dict of 2D arrays (fp32 row-stats vectors are (1, L))."""
+    layers = twt_params["layers"]
+    depth = len(layers)
+    l0 = layers[0]
+    bpe = base + pe.astype(base.dtype)
+    sh = {
+        "kh1": _dense(_b2d(l0["cross_attn_t2i"]["k"]), bpe),
+        "vh1": _dense(_b2d(l0["cross_attn_t2i"]["v"]), base),
+        "qi1": _dense(_b2d(l0["cross_attn_i2t"]["q"]), bpe),
+        "blocks": [],
+    }
+    sigma = jnp.ones((base.shape[-1],), jnp.float32)
+    # norm4 of block 0 sees raw base (sigma = 1)
+    stats = [(_rowmean(base)[None],
+              _rowmean(jnp.square(base.astype(jnp.float32)))[None])]
+    for i in range(1, depth):
+        sigma = sigma * layers[i - 1]["norm4"]["scale"].astype(jnp.float32)
+        bs = (base.astype(jnp.float32) * sigma[None]).astype(base.dtype)
+        li = layers[i]
+        sh["blocks"].append({
+            "Gk": _contract(bs, li["cross_attn_t2i"]["k"]["w"],
+                            ((1,), (0,)), base.dtype),
+            "Gv": _contract(bs, li["cross_attn_t2i"]["v"]["w"],
+                            ((1,), (0,)), base.dtype),
+            "Gq": _contract(bs, li["cross_attn_i2t"]["q"]["w"],
+                            ((1,), (0,)), base.dtype),
+            "PEk": _contract(pe.astype(base.dtype),
+                             li["cross_attn_t2i"]["k"]["w"],
+                             ((1,), (0,)), base.dtype),
+            "PEq": _contract(pe.astype(base.dtype),
+                             li["cross_attn_i2t"]["q"]["w"],
+                             ((1,), (0,)), base.dtype),
+        })
+        stats.append((_rowmean(bs)[None],
+                      _rowmean(jnp.square(bs.astype(jnp.float32)))[None]))
+    sh["stats_m"] = jnp.concatenate([m for m, _ in stats], axis=0)  # (depth,L)
+    sh["stats_q"] = jnp.concatenate([q for _, q in stats], axis=0)
+    sigma = sigma * layers[depth - 1]["norm4"]["scale"].astype(jnp.float32)
+    bs = (base.astype(jnp.float32) * sigma[None]).astype(base.dtype)
+    fa = twt_params["final_attn"]
+    sh["Gkf"] = _contract(bs, fa["k"]["w"], ((1,), (0,)), base.dtype)
+    sh["Gvf"] = _contract(bs, fa["v"]["w"], ((1,), (0,)), base.dtype)
+    sh["PEkf"] = _contract(pe.astype(base.dtype), fa["k"]["w"],
+                           ((1,), (0,)), base.dtype)
+    if conv1_w is not None:
+        sh["Gc1"] = _contract(bs, conv1_w, ((1,), (0,)), base.dtype)
+    sh["base"] = base
+    return sh
+
+
+def _fact_proj_scores(qbd, G, PE, W, b, rho, At, Bmat):
+    """scores = qbd @ proj^T without materializing proj = rho(x)G + At^T(B W)
+    + PE + 1 b^T.  qbd: (nh*Tq, Ci) scaled block-diag queries; rho: (1, L);
+    At: (R, L).  Returns (nh*Tq, L) fp32.
+
+    All state lives in row-major (R, L)/(1, L) layout so Mosaic never
+    relayouts the big axis."""
+    s = _contract(qbd, G, ((1,), (1,))) * rho
+    bw = _contract(Bmat, W, ((1,), (0,)), qbd.dtype)           # (R, Ci)
+    s = s + _contract(_contract(qbd, bw, ((1,), (1,)), qbd.dtype),
+                      At, ((1,), (0,)))
+    if PE is not None:
+        s = s + _contract(qbd, PE, ((1,), (1,)))
+    # bias term as a VPU row-sum: a (Tq, Ci) x (1, Ci) dot lowers to a
+    # mixed-dtype vector.broadcast Mosaic rejects
+    s = s + jnp.sum(qbd.astype(jnp.float32)
+                    * b.reshape(1, -1).astype(jnp.float32),
+                    axis=1, keepdims=True)
+    return s
+
+
+def _fact_attend_v(probs, Gv, Wv, bv, rho, At, Bmat):
+    """o = probs @ vh without materializing vh = rho(x)Gv + At^T(B Wv)
+    + 1 bv^T.  probs: (nh*Tq, L) fp32; returns (nh*Tq, Ci) fp32."""
+    pr = (probs * rho).astype(Gv.dtype)
+    o = _contract(pr, Gv, ((1,), (0,)))
+    bw = _contract(Bmat, Wv, ((1,), (0,)), Gv.dtype)           # (R, Ci)
+    pa = _contract(probs.astype(At.dtype), At, ((1,), (1,)), Gv.dtype)
+    o = o + _contract(pa, bw, ((1,), (0,)))
+    o = o + (jnp.sum(probs, axis=-1, keepdims=True)
+             * bv.reshape(1, -1).astype(jnp.float32))
+    return o
+
+
+def _head_extract(o, Tq, nh):
+    """(nh*Tq, I) fp32 block rows -> (Tq, I): sum per-head block columns."""
+    I = o.shape[-1]
+    hd = I // nh
+    lane = jax.lax.broadcasted_iota(jnp.int32, (Tq, I), 1)
+    out = jnp.zeros((Tq, I), jnp.float32)
+    for h in range(nh):
+        out = out + jnp.where(lane // hd == h, o[h * Tq:(h + 1) * Tq], 0.0)
+    return out
+
+
+def _fact_norm4(norm_p, m, q, base, sigma_bbar, rho, Abar_t, Bbar, eps=1e-6):
+    """Closed-form LayerNorm over X = rho(x)(base sigma) + Abar_t^T Bbar.
+
+    m/q: (1, L) shared rowmean / row-second-moment of (base sigma);
+    Abar_t: (R, L); sigma_bbar: Bbar with the CURRENT sigma folded in (for
+    the cross term against raw base).  Returns (rho' (1, L), At', B')."""
+    C = base.shape[-1]
+    # row means of Bbar as a (R, 1) column, then a VPU broadcast-reduce
+    # against Abar_t (1-row dots trip Mosaic's mixed-dtype broadcast)
+    bmean = jnp.sum(Bbar.astype(jnp.float32), axis=1, keepdims=True) / C
+    mu = rho * m + jnp.sum(bmean * Abar_t.astype(jnp.float32),
+                           axis=0, keepdims=True)
+    cross = rho * jnp.sum(
+        _contract(sigma_bbar, base, ((1,), (1,)))              # (R, L) fp32
+        * Abar_t.astype(jnp.float32), axis=0, keepdims=True)
+    gram = _contract(Bbar, Bbar, ((1,), (1,)))                 # (R, R) fp32
+    quad = jnp.sum(_contract(gram.astype(Abar_t.dtype), Abar_t,
+                             ((1,), (0,))) * Abar_t.astype(jnp.float32),
+                   axis=0, keepdims=True)
+    e2 = jnp.square(rho) * q + (2.0 * cross + quad) / C
+    var = e2 - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    scale = norm_p["scale"].reshape(1, -1).astype(jnp.float32)
+    bias = norm_p["bias"].reshape(1, -1).astype(jnp.float32)
+    dt = Abar_t.dtype
+    L = base.shape[0]
+    a_new = jnp.concatenate(
+        [Abar_t * inv.astype(dt), (-inv * mu).astype(dt),
+         jnp.ones((1, L), dt)], axis=0)
+    b_new = jnp.concatenate(
+        [(Bbar.astype(jnp.float32) * scale).astype(dt),
+         scale.astype(dt), bias.astype(dt)], axis=0)
+    return rho * inv, a_new, b_new
+
+
+def _factored_prompt(twt_p, sh, tokens, num_heads):
+    """One prompt through the depth-D two-way transformer in factored form.
+
+    tokens: (N, C).  Returns (queries (N, C), rho (1, L), At (R, L),
+    B (R, C)) — the final keys state, NEVER materialized as (L, C)."""
+    layers = twt_p["layers"]
+    depth = len(layers)
+    L, C = sh["base"].shape
+    dt = sh["base"].dtype
+    query_pe = tokens
+    queries = tokens
+
+    rho = jnp.ones((1, L), jnp.float32)
+    At = None                       # (R, L); None until the first i2t update
+    Bmat = None                     # (R, C)
+    sigma = jnp.ones((1, C), jnp.float32)
+
+    for i in range(depth):
+        p = layers[i]
+        # token-side self attention
+        if i == 0:
+            queries = _attention(p["self_attn"], queries, queries, queries,
+                                 num_heads)
+        else:
+            q = queries + query_pe
+            queries = queries + _attention(p["self_attn"], q, q, queries,
+                                           num_heads)
+        queries = _layernorm(p["norm1"], queries)
+
+        # t2i: tokens read the (factored) image state
+        q = queries + query_pe
+        ca = p["cross_attn_t2i"]
+        qh = _dense(ca["q"], q)
+        Tq, Ci = qh.shape
+        hd = Ci // num_heads
+        qbd = _bd(qh, num_heads) * jnp.asarray(1.0 / math.sqrt(hd), qh.dtype)
+        if i == 0:
+            s = _contract(qbd, sh["kh1"], ((1,), (1,)))
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(dt)
+            o = _contract(probs, sh["vh1"], ((1,), (0,)))
+        else:
+            blk = sh["blocks"][i - 1]
+            s = _fact_proj_scores(qbd, blk["Gk"], blk["PEk"], ca["k"]["w"],
+                                  ca["k"]["b"], rho, At, Bmat)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            probs = e / jnp.sum(e, axis=-1, keepdims=True)
+            o = _fact_attend_v(probs, blk["Gv"], ca["v"]["w"], ca["v"]["b"],
+                               rho, At, Bmat)
+        out = _head_extract(o, Tq, num_heads)
+        queries = queries + _dense(ca["out"], out.astype(dt))
+        queries = _layernorm(p["norm2"], queries)
+
+        h = _dense(p["mlp"]["fc1"], queries)
+        queries = queries + _dense(p["mlp"]["fc2"], jax.nn.relu(h))
+        queries = _layernorm(p["norm3"], queries)
+
+        # i2t: the image state reads the tokens -> rank-(nh*N) update
+        ia = p["cross_attn_i2t"]
+        q = queries + query_pe
+        kh = _dense(ia["k"], q)
+        vh = _dense(ia["v"], queries)
+        kbd = _bd(kh, num_heads) * jnp.asarray(1.0 / math.sqrt(hd), kh.dtype)
+        if i == 0:
+            s = _contract(kbd, sh["qi1"], ((1,), (1,)))        # (nh*N, L)
+        else:
+            blk = sh["blocks"][i - 1]
+            s = _fact_proj_scores(kbd, blk["Gq"], blk["PEq"], ia["q"]["w"],
+                                  ia["q"]["b"], rho, At, Bmat)
+        N = kh.shape[0]
+        ps = []
+        for hh in range(num_heads):
+            sl = s[hh * N:(hh + 1) * N]
+            mm = jnp.max(sl, axis=0, keepdims=True)
+            ee = jnp.exp(sl - mm)
+            ps.append(ee / jnp.sum(ee, axis=0, keepdims=True))
+        P = jnp.concatenate(ps, axis=0)                        # (nh*N, L) f32
+        M = _contract(_bd(vh, num_heads), ia["out"]["w"],
+                      ((1,), (0,)), dt)                        # (nh*N, C)
+
+        # norm4 in closed form; Abar/Bbar absorb the update + out bias.
+        # Rank rows padded to a multiple of 8 (zero A-rows paired with zero
+        # B-rows contribute nothing): unaligned sublane extents make Mosaic
+        # emit masked relayouts on every downstream (R, L) op.
+        ab = [P.astype(dt), jnp.ones((1, L), dt)]
+        bb = [M, ia["out"]["b"].reshape(1, -1)]
+        if At is not None:
+            ab, bb = [At] + ab, [Bmat] + bb
+        rows = sum(a.shape[0] for a in ab)
+        pad = -(rows + 2) % 8       # +2: the rows _fact_norm4 appends
+        if pad:
+            ab.append(jnp.zeros((pad, L), dt))
+            bb.append(jnp.zeros((pad, C), dt))
+        Abar_t = jnp.concatenate(ab, axis=0)
+        Bbar = jnp.concatenate(bb, axis=0)
+        sig_bbar = (Bbar.astype(jnp.float32) * sigma).astype(dt)
+        rho, At, Bmat = _fact_norm4(p["norm4"], sh["stats_m"][i:i + 1],
+                                    sh["stats_q"][i:i + 1], sh["base"],
+                                    sig_bbar, rho, Abar_t, Bbar)
+        sigma = sigma * p["norm4"]["scale"].reshape(1, -1).astype(jnp.float32)
+
+    # final token-to-image attention (keys stay factored)
+    fa = twt_p["final_attn"]
+    q = queries + query_pe
+    qh = _dense(fa["q"], q)
+    Tq, Ci = qh.shape
+    hd = Ci // num_heads
+    qbd = _bd(qh, num_heads) * jnp.asarray(1.0 / math.sqrt(hd), qh.dtype)
+    s = _fact_proj_scores(qbd, sh["Gkf"], sh["PEkf"], fa["k"]["w"],
+                          fa["k"]["b"], rho, At, Bmat)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    e = jnp.exp(s - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    o = _fact_attend_v(probs, sh["Gvf"], fa["v"]["w"], fa["v"]["b"],
+                       rho, At, Bmat)
+    out = _head_extract(o, Tq, num_heads)
+    queries = queries + _dense(fa["out"], out.astype(dt))
+    queries = _layernorm(twt_p["norm_final"], queries)
+    return queries, rho, At, Bmat
+
+
+def _factored_decode_tail(head, sh, queries, rho, At, Bmat, num_tokens):
+    """IoU head + hypernetwork + permuted-layout upscale on the factored
+    keys state (conv1 via shared Gc1 + rank-width correction)."""
+    iou = _mlp_stack(head["iou"], queries[0:1])
+
+    hyper = jnp.concatenate(
+        [_mlp_stack(head["hyper"][n], queries[1 + n:2 + n])
+         for n in range(num_tokens)], axis=0)
+    co2 = hyper.shape[-1]
+    hbd = jnp.concatenate([hyper] * 4, axis=0)
+    hbd = jnp.concatenate([hbd] * 4, axis=1)
+    r = jax.lax.broadcasted_iota(jnp.int32, hbd.shape, 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, hbd.shape, 1)
+    hbd = jnp.where((r // num_tokens) == (c // co2), hbd,
+                    jnp.zeros_like(hbd))
+
+    w1, b1 = head["conv1"]["w"], head["conv1"]["b"]
+    y1 = (sh["Gc1"].astype(jnp.float32) * rho.reshape(-1, 1)
+          + _contract(At, _contract(Bmat, w1, ((1,), (0,)), At.dtype),
+                      ((0,), (0,)))
+          + b1.reshape(1, -1).astype(jnp.float32)).astype(At.dtype)
+    co1 = y1.shape[-1] // 4
+    parts = []
+    for g1 in range(4):
+        z = y1[:, g1 * co1:(g1 + 1) * co1]
+        z = _layernorm(head["ln"], z)
+        z = jax.nn.gelu(z)
+        z = jax.nn.gelu(_dense(head["conv2"], z))
+        parts.append(jax.lax.dot_general(
+            z, hbd, ((((1,), (1,))), ((), ())),
+            preferred_element_type=jnp.float32))
+    mask_cols = jnp.concatenate(parts, axis=1)
+    return mask_cols, iou
+
+
 def _convt_as_matmul(p):
     """(2,2,ci,co) conv_transpose weights -> (ci, 4*co) matmul form.
 
@@ -332,9 +658,119 @@ def _convt_as_matmul(p):
             "b": jnp.tile(p["b"], 4)}
 
 
+def _decode_head_params(decoder_params: dict) -> dict:
+    return {
+        "conv1": _convt_as_matmul(decoder_params["upscale_conv1"]),
+        "ln": decoder_params["upscale_ln"],
+        "conv2": _convt_as_matmul(decoder_params["upscale_conv2"]),
+        "hyper": [mp["layers"] for mp in decoder_params["hyper_mlps"]],
+        "iou": decoder_params["iou_head"]["layers"],
+    }
+
+
+def _unpermute_masks(masks_perm, B, Hs, Ws, num_tokens):
+    """kernel mask columns are (di1,dj1, di2,dj2, token) per low-res pixel;
+    final pixel = (4i + 2*di1 + di2, 4j + 2*dj1 + dj2)."""
+    m = masks_perm.reshape(B, Hs, Ws, 2, 2, 2, 2, num_tokens)
+    m = m.transpose(0, 7, 1, 3, 5, 2, 4, 6)
+    return m.reshape(B, num_tokens, 4 * Hs, 4 * Ws)
+
+
+def factored_decode_ref(twt_params: dict, decoder_params: dict,
+                        image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
+                        point_embedding: jnp.ndarray, num_heads: int):
+    """XLA (vmapped) factored shared-base decode.
+
+    Validation/measurement twin of the factored Pallas kernel: identical
+    math, per-prompt work vmapped instead of gridded.  image_embedding must
+    have leading dim 1 (the base is shared by construction)."""
+    Bi, Hs, Ws, C = image_embedding.shape
+    assert Bi == 1, "factored decode requires a shared base"
+    B = point_embedding.shape[0]
+    L = Hs * Ws
+    base = image_embedding.reshape(L, C)
+    pe = image_pe.reshape(-1, L, C)[0]
+    tokens = point_embedding.astype(base.dtype)
+    num_tokens = len(decoder_params["hyper_mlps"])
+
+    head = _decode_head_params(decoder_params)
+    sh = _factored_shared(twt_params, base, pe, conv1_w=head["conv1"]["w"])
+
+    def one(tok):
+        q, rho, A, Bm = _factored_prompt(twt_params, sh, tok, num_heads)
+        return _factored_decode_tail(head, sh, q, rho, A, Bm, num_tokens)
+
+    mask_cols, iou = jax.vmap(one)(tokens)
+    masks = _unpermute_masks(mask_cols.astype(base.dtype), B, Hs, Ws,
+                             num_tokens)
+    return masks, iou[:, 0].astype(base.dtype)
+
+
+def _decode_kernel_factored(treedef, num_heads, num_tokens,
+                            tok_ref, *refs):
+    leaf_refs = refs[:-2]
+    m_out_ref, iou_out_ref = refs[-2], refs[-1]
+    p = jax.tree_util.tree_unflatten(treedef, [r[...] for r in leaf_refs])
+    tokens = tok_ref[0].astype(p["sh"]["base"].dtype)
+    q, rho, At, Bm = _factored_prompt(p["twt"], p["sh"], tokens, num_heads)
+    mask_cols, iou = _factored_decode_tail(p["head"], p["sh"], q, rho, At,
+                                           Bm, num_tokens)
+    m_out_ref[0] = mask_cols.astype(m_out_ref.dtype)
+    iou_out_ref[0] = iou.astype(iou_out_ref.dtype)
+
+
+def factored_decode_fused(twt_params: dict, decoder_params: dict,
+                          base2d: jnp.ndarray, pe2d: jnp.ndarray,
+                          tokens: jnp.ndarray, num_heads: int,
+                          Hs: int, Ws: int):
+    """Pallas launch of the low-rank factored shared-base decode.
+
+    base2d/pe2d: (L, C); tokens: (B, N, C).  Shared G/PE/stat precomputes
+    run once per chunk in XLA; the kernel grids over prompts, each one
+    doing only rank-width (R <= 128) MXU work plus token-side math."""
+    B, N, C = tokens.shape
+    L = base2d.shape[0]
+    num_tokens = len(decoder_params["hyper_mlps"])
+    head = _decode_head_params(decoder_params)
+    sh = _factored_shared(twt_params, base2d, pe2d,
+                          conv1_w=head["conv1"]["w"])
+    tree2d = jax.tree_util.tree_map(
+        lambda a: a.reshape(1, -1) if a.ndim == 1 else a,
+        {"twt": twt_params, "head": head, "sh": sh})
+    leaves, treedef = jax.tree_util.tree_flatten(tree2d)
+    leaf_specs = [pl.BlockSpec(a.shape, functools.partial(
+        lambda nd, i: (0,) * nd, a.ndim)) for a in leaves]
+
+    masks_perm, iou = pl.pallas_call(
+        functools.partial(_decode_kernel_factored, treedef, num_heads,
+                          num_tokens),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda i: (i, 0, 0)),
+            *leaf_specs,
+        ],
+        out_specs=[
+            pl.BlockSpec((1, L, 16 * num_tokens), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, num_tokens), lambda i: (i, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, L, 16 * num_tokens), base2d.dtype),
+            jax.ShapeDtypeStruct((B, 1, num_tokens), base2d.dtype),
+        ],
+        interpret=_interpret(),
+        # shared G/PE matrices (~15MB) + weights + one prompt's rank-width
+        # working set all stay resident
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=80 * 1024 * 1024),
+    )(tokens, *leaves)
+    return (_unpermute_masks(masks_perm, B, Hs, Ws, num_tokens),
+            iou[:, 0])
+
+
 def fused_decode_apply(twt_params: dict, decoder_params: dict,
                        image_embedding: jnp.ndarray, image_pe: jnp.ndarray,
-                       point_embedding: jnp.ndarray, num_heads: int):
+                       point_embedding: jnp.ndarray, num_heads: int,
+                       factored: bool = True):
     """Transformer + upscale + hypernetwork + IoU head in ONE Pallas kernel.
 
     Covers mask_decoder.predict_masks from the transformer onward: the
@@ -344,14 +780,25 @@ def fused_decode_apply(twt_params: dict, decoder_params: dict,
     (bf16) and IoU predictions leave the chip.
 
     If image_embedding has a leading dim of 1 while point_embedding has B
-    (the AMG case: one image, shared dense prompt), the kernel runs in
-    SHARED-BASE mode: the base is never broadcast/materialized per prompt
-    and layers[0]'s keys-side projections are computed once in XLA.
+    (the AMG case: one image, shared dense prompt), the prompts share ONE
+    base and the kernel drops to the LOW-RANK FACTORED form (`factored`,
+    default on): the per-prompt keys state lives as rho(x)(base sigma)+A B,
+    every keys-side projection is a rank-width dot against per-chunk shared
+    G matrices, and the (L, C) LayerNorms become closed-form row stats.
+    `factored=False` keeps the materialized shared-base kernel (layers[0]
+    projections hoisted, base read per chunk).
     Returns (masks (B, num_tokens, 4S, 4S) in image dtype, iou (B, num_tokens)).
     """
     Bi, Hs, Ws, C = image_embedding.shape
     B = point_embedding.shape[0]
     share_base = Bi == 1 and B > 1
+    if share_base and factored:
+        L = Hs * Ws
+        return factored_decode_fused(
+            twt_params, decoder_params, image_embedding.reshape(L, C),
+            image_pe.reshape(-1, L, C)[0],
+            point_embedding.astype(image_embedding.dtype), num_heads,
+            Hs, Ws)
     L = Hs * Ws
     keys = image_embedding.reshape(Bi, L, C)
     pe = image_pe.reshape(-1, L, C)[0]

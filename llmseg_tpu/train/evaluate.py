@@ -10,6 +10,14 @@ origin segs, composes the predicted mask, and accumulates gIoU/cIoU exactly
 like the reference: both masks nearest-resized to 1024^2, histogram
 intersection/union over {bg, fg}, acc_iou[union==0] += 1 (no-object credit),
 gIoU = mean per-image fg IoU, cIoU = Σinter/Σunion fg.
+
+NAMING (canonical note): the head called `pred_iou` throughout — here, in
+the model, and in the reference (LISA.py:387, lisa_iou_head) — is trained
+to regress IoP (intersection over PREDICTION, iou_regression_loss on
+gt_iops, LISA.py:449 + utils.py:207-232), not IoU.  Every `iou`/`pred_iou`
+argument below and every "IoP>tau" selection therefore thresholds the IoP
+regressor.  We keep the reference's name for checkpoint/API parity and
+document the mismatch once, here.
 """
 
 from __future__ import annotations

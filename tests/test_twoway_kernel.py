@@ -169,3 +169,33 @@ def test_fused_route_differentiable(tiny_cfg):
     v_fused = loss(p, "xla")
     v = jax.value_and_grad(lambda q: loss(q, "fused"))(p)[0]
     assert abs(float(v) - float(v_fused)) < 1e-6
+
+
+def test_factored_decode_matches_xla(tiny_cfg):
+    """The low-rank factored shared-base decode (keys state kept as
+    rho(x)(base sigma) + A B, LayerNorms in closed form) reproduces the
+    reference-structured path exactly in fp32."""
+    from llmseg_tpu.ops.twoway_kernel import factored_decode_ref
+
+    cfg = tiny_cfg
+    d = cfg.transformer_dim
+    p = mask_decoder.init(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    B, S = 5, 8
+    emb = jax.random.normal(jax.random.PRNGKey(1), (1, S, S, d)) * 0.5
+    pe = jax.random.normal(jax.random.PRNGKey(2), (S, S, d)) * 0.5
+    sparse = jax.random.normal(jax.random.PRNGKey(3), (B, 2, d)) * 0.5
+    dense = jax.random.normal(jax.random.PRNGKey(4), (1, S, S, d)) * 0.1
+
+    m0, i0 = mask_decoder.predict_masks(
+        p, cfg, emb, pe, sparse, jnp.broadcast_to(dense, (B, S, S, d)),
+        impl="xla")
+    num_tokens = cfg.num_multimask_outputs + 1
+    out_tok = jnp.concatenate([p["iou_token"], p["mask_tokens"]], axis=0)
+    tokens = jnp.concatenate(
+        [jnp.broadcast_to(out_tok[None], (B, num_tokens + 1, d)), sparse],
+        axis=1)
+    m1, i1 = factored_decode_ref(p["transformer"], p, emb + dense, pe,
+                                 tokens, cfg.transformer_num_heads)
+    assert m1.shape == m0.shape
+    assert jnp.abs(m0 - m1).max() < 2e-4, jnp.abs(m0 - m1).max()
+    assert jnp.abs(i0 - i1).max() < 2e-5, jnp.abs(i0 - i1).max()
