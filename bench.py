@@ -289,23 +289,36 @@ def run_tower(config_name: str, tower: str):
                        text_len=TEXT_LEN, dtype=dtype)
     lv = cfg.llava
 
+    # prune the param subtrees this tower does not touch: the full 7B tree
+    # is ~15.4 GB of 16 GB HBM, and the scan-of-llama program needs the
+    # freed headroom (this is what OOM'd the in-process breakdown in r2 AND
+    # the first isolated attempt in r3)
     if tower == "dino":
+        params = {"dino": params["dino"], "select": params["select"]}
         f = lambda p, b, x: llmseg.dino_features(
             p, cfg, b["images_dino"] + x.astype(dtype)).sum()
         args = (params, batch)
     elif tower == "clip":
+        params = {"llava": {
+            "vision_tower": params["llava"]["vision_tower"],
+            "mm_projector": params["llava"]["mm_projector"]}}
         f = lambda p, b, x: llava.encode_images(
             p["llava"], lv, b["images_clip"] + x.astype(dtype)).sum()
         args = (params, batch)
     elif tower == "llama":
         img_embeds = jax.jit(lambda p, b: llava.encode_images(
             p["llava"], lv, b["images_clip"]))(params, batch)
+        jax.block_until_ready(img_embeds)
+        params.pop("dino")
+        params.pop("select")
+        params["llava"].pop("vision_tower")
         f = lambda p, b, e, x: llava.forward(
             p["llava"], lv, input_ids=b["input_ids"],
             image_pos=b["image_pos"],
             image_embeds=e + x.astype(dtype)).sum()
         args = (params, batch, img_embeds)
     elif tower == "select_head":
+        params = {"select": params["select"]}
         R, K, D = 1, cfg.max_proposals, cfg.select.dim
         pe = jnp.zeros((R, K, D), dtype)
         te = jnp.zeros((R, D), dtype)
