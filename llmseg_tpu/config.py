@@ -184,6 +184,40 @@ class LlamaConfig:
     tie_embeddings: bool = False
 
 
+@dataclass(frozen=True)
+class MptConfig:
+    """MPT decoder (reference model/llava/model/language_model/mpt/ —
+    the dormant alternative backbone, M21).  Defaults mirror
+    configuration_mpt.py's MPT-7B: alibi positions (no rope/pos-emb),
+    bias-free linears/norms, fused Wqkv, GELU-exact FFN."""
+
+    vocab_size: int = 50368
+    d_model: int = 4096
+    n_layers: int = 32
+    n_heads: int = 32
+    kv_n_heads: int = 32             # 1 = MultiQueryAttention (attn.py:357)
+    expansion_ratio: int = 4
+    max_seq_len: int = 2048
+    alibi: bool = True
+    alibi_bias_max: int = 8
+    learned_pos_emb: bool = False    # used only when alibi is off
+    clip_qkv: Optional[float] = None
+    qk_ln: bool = False
+    softmax_scale: Optional[float] = None
+    no_bias: bool = True
+    ln_eps: float = 1e-5
+
+
+def mpt_7b() -> MptConfig:
+    return MptConfig()
+
+
+def mpt_tiny(vocab_size: int = 256) -> MptConfig:
+    return MptConfig(vocab_size=vocab_size, d_model=64, n_layers=2,
+                     n_heads=4, kv_n_heads=4, expansion_ratio=2,
+                     max_seq_len=128)
+
+
 def llama_7b() -> LlamaConfig:
     return LlamaConfig()
 

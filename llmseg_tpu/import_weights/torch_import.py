@@ -328,6 +328,41 @@ def import_llama(sd: Dict[str, np.ndarray], cfg,
     return p
 
 
+def import_mpt(sd: Dict[str, np.ndarray], cfg,
+               prefix: str = "transformer.") -> Dict:
+    """MPT checkpoint (HF MptForCausalLM / mosaicml naming — the reference's
+    vendored branch uses identical keys, modeling_mpt.py) -> models/mpt.py
+    pytree.  MPT ties the LM head to wte, so no separate head import."""
+
+    def ln(name):
+        p = {"scale": sd[f"{name}.weight"]}
+        p["bias"] = sd.get(f"{name}.bias",
+                           np.zeros_like(p["scale"]))
+        return p
+
+    blocks = []
+    for i in range(cfg.n_layers):
+        b = f"{prefix}blocks.{i}"
+        blk = {
+            "norm_1": ln(f"{b}.norm_1"),
+            "attn": {"wqkv": linear(sd, f"{b}.attn.Wqkv"),
+                     "out_proj": linear(sd, f"{b}.attn.out_proj")},
+            "norm_2": ln(f"{b}.norm_2"),
+            "ffn": {"up_proj": linear(sd, f"{b}.ffn.up_proj"),
+                    "down_proj": linear(sd, f"{b}.ffn.down_proj")},
+        }
+        if cfg.qk_ln:
+            blk["attn"]["q_ln"] = ln(f"{b}.attn.q_ln")
+            blk["attn"]["k_ln"] = ln(f"{b}.attn.k_ln")
+        blocks.append(blk)
+    p = {"wte": sd[f"{prefix}wte.weight"],
+         "blocks": blocks,
+         "norm_f": ln(f"{prefix}norm_f")}
+    if f"{prefix}wpe.weight" in sd:
+        p["wpe"] = sd[f"{prefix}wpe.weight"]
+    return p
+
+
 def _pad_vocab(w: np.ndarray, vocab_size: int) -> np.ndarray:
     """Resize token embeddings (the reference adds [SEG]/<im_start>/<im_end>
     and resizes, training.py:229).  New rows init to the mean of existing

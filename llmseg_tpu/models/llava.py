@@ -118,6 +118,25 @@ def forward(params: dict, cfg: LlavaConfig, *,
                        lora_cfg=lora_cfg, remat=remat)
 
 
+def forward_mpt(params: dict, cfg: LlavaConfig, mpt_cfg, *,
+                input_ids: jnp.ndarray, image_pos: jnp.ndarray,
+                images: Optional[jnp.ndarray] = None,
+                image_embeds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """LLaVA with the MPT backbone (reference llava_mpt.py
+    LlavaMPTForCausalLM — the dormant M21 branch): identical CLIP tower +
+    projector + image-token splice, MPT decoder instead of LLaMA.
+    params["llm"] holds a models/mpt.py tree; mpt_cfg a config.MptConfig."""
+    from llmseg_tpu.models import mpt as mpt_lib
+
+    if image_embeds is None:
+        image_embeds = encode_images(params, cfg, images)
+    text_embeds = params["llm"]["wte"][input_ids]
+    x = splice_image_tokens(text_embeds,
+                            image_embeds.astype(text_embeds.dtype),
+                            image_pos)
+    return mpt_lib.apply(params["llm"], mpt_cfg, inputs_embeds=x)
+
+
 def causal_lm_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     """Shifted CE with IGNORE_INDEX masking, mean over valid targets
     (reference llava_llama.py:107-118 / HF convention: one global mean)."""
