@@ -37,7 +37,7 @@ def mask_targets(conversation: str, ids: List[int], tokenizer,
     """Vicuna round masking over one conversation's token ids."""
     conv = conv_lib.conv_templates[conv_type]
     target = np.asarray(ids, np.int64).copy()
-    if conv_type == "llava_v1":
+    if conv.sep_style == conv_lib.SeparatorStyle.TWO:
         sep = conv.sep + conv.roles[1] + ": "
     else:
         sep = "[/INST] "

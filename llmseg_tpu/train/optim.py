@@ -85,9 +85,12 @@ def make_trainable_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
 # ---------------------------------------------------------------------------
 
 
-def partition(params: dict):
-    """-> (trainable: {path_str: leaf}, skeleton: params with None holes)."""
-    mask = trainable_mask(params)
+def partition(params: dict, mask: dict = None):
+    """-> (trainable: {path_str: leaf}, skeleton: params with None holes).
+    `mask` overrides the default llmseg trainable set (e.g. train/sft.py's
+    projector-only / LoRA regimes)."""
+    if mask is None:
+        mask = trainable_mask(params)
     trainable = {}
 
     def walk(node, m, path):
