@@ -287,14 +287,43 @@ class AutomaticMaskGenerator:
             packed = jax.device_get(
                 upscale_binary(out["masks_low"][:self._bucket(n)],
                                (s_in, s_in), self.cfg.mask_threshold))
-            masks = np.unpackbits(packed[:n], axis=-1,
-                                  count=s_in).reshape(n, s_in, s_in)
-            masks = masks[:, :h, :w].astype(bool)
             iou = small["iou"][:n]
             stability = small["stability"][:n]
             pts = small["points"][:n]
+            if self.amg.min_mask_region_area == 0:
+                # fast path: RLE + area + bbox straight from the packed
+                # bits in one native pass per mask — the unpacked (n, S, S)
+                # buffer, the nonzero bbox scan, and the python varint
+                # loop never exist (native/rle.cc rle_packed_encode)
+                return self._assemble_packed(packed, n, iou, stability,
+                                             pts, h, w)
+            masks = np.unpackbits(packed[:n], axis=-1,
+                                  count=s_in).reshape(n, s_in, s_in)
+            masks = masks[:, :h, :w].astype(bool)
             crop_boxes = [(0, 0, w, h)] * n
         return self._assemble(masks, iou, stability, pts, crop_boxes, h, w)
+
+    def _assemble_packed(self, packed, n: int, iou, stability, pts,
+                         h: int, w: int) -> List[Dict]:
+        """Reference-schema annotations from bit-packed masks (the
+        min_mask_region_area == 0 default: no hole/island cleanup, every
+        crop box is the full frame)."""
+        anns = []
+        for i in range(n):
+            r, area, bbox = rle.encode_packed(packed[i], h, w)
+            if area == 0:
+                continue
+            anns.append({
+                "segmentation": r,
+                "area": int(area),
+                "bbox": [float(v) for v in bbox],
+                "predicted_iou": float(iou[i]),
+                "point_coords": [[float(pts[i][0]), float(pts[i][1])]],
+                "stability_score": float(stability[i]),
+                "crop_box": [0, 0, w, h],
+            })
+        anns.sort(key=lambda a: a["area"], reverse=True)
+        return anns
 
     def _finish_crops(self, handle: Dict):
         """Assemble full-frame survivor masks from every crop, then

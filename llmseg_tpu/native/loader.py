@@ -27,16 +27,22 @@ def _load() -> Optional[ctypes.CDLL]:
     _tried = True
     if os.environ.get("LLMSEG_NO_NATIVE"):
         return None
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_DIR, "rle.cc")
+    stale = (not os.path.exists(_LIB_PATH)
+             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _DIR], check=True,
+            subprocess.run(["make", "-C", _DIR, "-B"], check=True,
                            capture_output=True, timeout=120)
         except Exception:
-            return None
+            if not os.path.exists(_LIB_PATH):
+                return None
     try:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
+    if not hasattr(lib, "rle_packed_encode"):
+        return None  # stale binary without the fused symbol; numpy fallback
     lib.rle_mask_to_counts.restype = ctypes.c_int64
     lib.rle_mask_to_counts.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -45,6 +51,11 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.rle_counts_to_mask.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8)]
+    lib.rle_packed_encode.restype = ctypes.c_int64
+    lib.rle_packed_encode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double)]
     lib.mask_iou_iop.restype = None
     lib.mask_iou_iop.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -80,6 +91,30 @@ def counts_to_mask(counts: np.ndarray, h: int, w: int) -> np.ndarray:
     if rc != 0:
         raise ValueError(f"RLE counts sum != {h}*{w}")
     return out
+
+
+_str_buf = np.empty(0, np.uint8)  # reused, never zeroed
+
+
+def packed_encode(packed: np.ndarray, h: int, w: int):
+    """Bit-packed (h_pad, stride) uint8 row-major mask -> (counts_str,
+    area, bbox[x, y, dw, dh]) over the top-left (h, w) crop, column-major.
+    One C pass; no unpacked mask buffer is ever materialized."""
+    global _str_buf
+    lib = _load()
+    stride = packed.shape[1]
+    # worst case: every pixel flips -> h*w+1 runs, <= 13 varint chars each
+    need = (h * w + 2) * 13
+    if _str_buf.size < need:
+        _str_buf = np.empty(need, np.uint8)
+    area = ctypes.c_int64()
+    bbox = (ctypes.c_double * 4)()
+    n = lib.rle_packed_encode(
+        _u8ptr(packed), stride, h, w,
+        _str_buf.ctypes.data_as(ctypes.c_char_p),
+        ctypes.byref(area), bbox)
+    return (_str_buf[:n].tobytes().decode("ascii"), int(area.value),
+            list(bbox))
 
 
 def mask_iou_iop(gt: np.ndarray, props: np.ndarray):

@@ -113,6 +113,32 @@ def encode(mask: np.ndarray) -> RLE:
     return {"size": [h, w], "counts": counts_to_string(mask_to_counts(mask))}
 
 
+def encode_packed(packed: np.ndarray, h: int, w: int):
+    """Bit-packed mask -> (RLE, area, bbox) in one native pass.
+
+    `packed` is (h_pad, stride) uint8 with width bit-packed MSB-first
+    (numpy packbits default) — the wire format the AMG device program
+    downloads (models/sam/amg.py finish).  Only the top-left (h, w) crop
+    is encoded.  bbox is the reference's inclusive-edge xywh
+    [x_min, y_min, x_max - x_min, y_max - y_min] (amg.py:91,179).
+    The C++ path never materializes the unpacked (h, w) mask."""
+    packed = np.ascontiguousarray(packed, np.uint8)
+    if _native.available():
+        s, a, bbox = _native.packed_encode(packed, h, w)
+        return {"size": [h, w], "counts": s}, a, bbox
+    mask = np.unpackbits(packed, axis=-1,
+                         count=packed.shape[1] * 8)[:h, :w]
+    r = encode(mask)
+    a = area(r)
+    ys, xs = np.nonzero(mask)
+    if len(xs) == 0:
+        bbox = [0.0, 0.0, 0.0, 0.0]
+    else:
+        bbox = [float(xs.min()), float(ys.min()),
+                float(xs.max() - xs.min()), float(ys.max() - ys.min())]
+    return r, a, bbox
+
+
 def decode(rle: RLE) -> np.ndarray:
     """RLE (compressed str or uncompressed list counts) -> (H, W) uint8."""
     h, w = rle["size"]

@@ -146,3 +146,52 @@ def test_polygon_raster_vs_pycocotools():
         inter = np.logical_and(ref, got).sum()
         union = np.logical_or(ref, got).sum()
         assert union == 0 or inter / union > 0.97, f"case {i}"
+
+
+def test_encode_packed_parity():
+    """Fused packed-bits encoder (native/rle.cc rle_packed_encode) matches
+    the unpacked encode + area + inclusive-edge bbox on random, structured,
+    empty, and full masks with padded packing (the AMG download layout)."""
+    rng = np.random.default_rng(7)
+    for trial in range(24):
+        h = int(rng.integers(1, 150))
+        w = int(rng.integers(1, 150))
+        kind = trial % 4
+        if kind == 0:
+            m = rng.random((h, w)) < 0.3
+        elif kind == 1:
+            m = np.zeros((h, w), bool)
+        elif kind == 2:
+            m = np.ones((h, w), bool)
+        else:
+            m = np.zeros((h, w), bool)
+            m[h // 4:3 * h // 4, w // 4:3 * w // 4] = True
+        pad_w = (w + 21 + 7) // 8 * 8
+        full = np.zeros((h + 3, pad_w), np.uint8)
+        full[:h, :w] = m
+        packed = np.packbits(full, axis=-1)
+        r, a, bbox = rle.encode_packed(packed, h, w)
+        ref = rle.encode(m.astype(np.uint8))
+        assert r["counts"] == ref["counts"] and r["size"] == [h, w]
+        assert a == rle.area(ref)
+        ys, xs = np.nonzero(m)
+        if len(xs):
+            exp = [float(xs.min()), float(ys.min()),
+                   float(xs.max() - xs.min()), float(ys.max() - ys.min())]
+        else:
+            exp = [0.0, 0.0, 0.0, 0.0]
+        assert bbox == exp
+
+
+def test_encode_packed_numpy_fallback(monkeypatch):
+    from llmseg_tpu.native import loader as native_loader
+
+    monkeypatch.setattr(native_loader, "_lib", None)
+    monkeypatch.setattr(native_loader, "_tried", True)
+    m = np.zeros((9, 13), np.uint8)
+    m[2:5, 3:11] = 1
+    packed = np.packbits(np.pad(m, ((0, 2), (0, 3))), axis=-1)
+    r, a, bbox = rle.encode_packed(packed, 9, 13)
+    ref = rle.encode(m)
+    assert r["counts"] == ref["counts"]
+    assert a == 24 and bbox == [3.0, 2.0, 7.0, 2.0]
