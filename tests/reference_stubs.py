@@ -158,14 +158,18 @@ def _stub_mpt_branch() -> None:
     runtime) imports transformers internals removed in 4.x
     (bloom._expand_mask).  Pre-register a placeholder so
     model/llava/model/__init__.py:2 imports without pulling it in."""
-    name = "model.llava.model.language_model.llava_mpt"
-    if name in sys.modules:
-        return
-    m = types.ModuleType(name)
-    m.__spec__ = importlib.machinery.ModuleSpec(name, None)
-    m.LlavaMPTConfig = type("LlavaMPTConfig", (), {})
-    m.LlavaMPTForCausalLM = type("LlavaMPTForCausalLM", (), {})
-    sys.modules[name] = m
+    # both package spellings: "model.llava..." (reference root on sys.path)
+    # and "llava..." (model/ on sys.path, used by llava/train/train.py's
+    # absolute imports)
+    for name in ("model.llava.model.language_model.llava_mpt",
+                 "llava.model.language_model.llava_mpt"):
+        if name in sys.modules:
+            continue
+        m = types.ModuleType(name)
+        m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        m.LlavaMPTConfig = type("LlavaMPTConfig", (), {})
+        m.LlavaMPTForCausalLM = type("LlavaMPTForCausalLM", (), {})
+        sys.modules[name] = m
 
 
 def install() -> str:
