@@ -138,6 +138,10 @@ def main(argv=None):
             continue
         img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
         img = preprocess_image(img, max_side)
+        if pending is not None:
+            # enqueue the previous image's upscale BEFORE this submit, so
+            # its packed download + RLE overlap this image's device work
+            gen.prefetch(pending[2])
         handle = gen.submit(img)
         if pending is not None:
             _drain(pending)

@@ -30,7 +30,11 @@ import numpy as np
 
 from llmseg_tpu.config import AMGConfig, SamConfig
 from llmseg_tpu.models.sam import sam as sam_lib
-from llmseg_tpu.ops import amg_utils, nms, rle
+from llmseg_tpu.ops import amg_utils, device_rle, nms, rle
+
+# per-column run-start budget for the on-device RLE download; real SAM
+# masks are blobby (~1-2 runs/column), overflow falls back to bit-packed
+MAX_RUNS_PER_COL = 8
 
 
 def _candidate_filters(low_masks, iou_pred, amg: AMGConfig, cfg: SamConfig,
@@ -139,14 +143,20 @@ def amg_select(params: dict, cfg: SamConfig, amg: AMGConfig,
     }
 
 
-@functools.partial(jax.jit, static_argnames=("out_hw", "threshold"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_hw", "threshold", "bucket"))
 def upscale_binary(masks_low: jnp.ndarray, out_hw: Tuple[int, int],
-                   threshold: float = 0.0) -> jnp.ndarray:
+                   threshold: float = 0.0,
+                   bucket: Optional[int] = None) -> jnp.ndarray:
     """(K, S, S) logits -> (K, H, W//8) BIT-PACKED masks at the input-frame
     resolution (reference postprocess path, sam.py:137-172, minus the
     original-size resize: masks.json stores masks at the preprocessed
     resolution).  Packing on device cuts the host transfer 8x — the
-    dominant cost when the host link is thin."""
+    dominant cost when the host link is thin.  `bucket` slices the first
+    K masks INSIDE the jit, so slice + upscale + pack dispatch as one
+    program (an eager slice costs a full tunnel roundtrip)."""
+    if bucket is not None:
+        masks_low = masks_low[:bucket]
     K = masks_low.shape[0]
     m = jax.image.resize(masks_low.astype(jnp.float32)[..., None],
                          (K, out_hw[0], out_hw[1], 1), method="bilinear")
@@ -269,6 +279,45 @@ class AutomaticMaskGenerator:
         compile a handful of shapes, not one per image."""
         return min(max(8, 1 << (n - 1).bit_length()), self.amg.max_masks)
 
+    def prefetch(self, handle: Dict) -> Dict:
+        """Pull survivor metadata and ENQUEUE the jitted upscale + async
+        host copy NOW.  In a pipelined loop, call this BEFORE submitting the
+        next image: otherwise the upscale program queues behind the next
+        image's encoder+decoder on the single device stream, and the packed
+        download — the dominant host cost with survivors present — cannot
+        overlap the next image's device time.  Idempotent; finish() calls
+        it if the caller didn't."""
+        if handle.get("mode") == "crops" or "n" in handle:
+            return handle
+        out = handle["out"]
+        n, small = self._pull_survivors(out)
+        handle["n"], handle["small"] = n, small
+        if not n:
+            return handle
+        s_in = self.cfg.encoder.img_size
+        if self.amg.min_mask_region_area == 0:
+            # RLE boundaries computed ON DEVICE: ~8x less wire than the
+            # bit-packed bitmap (ops/device_rle.py)
+            h, w = handle["hw"]
+            payload = device_rle.upscale_rle(
+                out["masks_low"], jnp.asarray([h, w], jnp.int32),
+                (s_in, s_in), self.cfg.mask_threshold,
+                bucket=self._bucket(n), max_per_col=MAX_RUNS_PER_COL)
+            handle["rle_dev"] = payload
+        else:
+            packed = upscale_binary(out["masks_low"], (s_in, s_in),
+                                    self.cfg.mask_threshold,
+                                    bucket=self._bucket(n))
+            handle["packed_dev"] = packed
+        devs = (handle["rle_dev"] if "rle_dev" in handle
+                else (handle["packed_dev"],))
+        for dev in devs:
+            try:  # start the device->host DMA behind the device program
+                dev.copy_to_host_async()
+            except Exception:
+                pass
+        return handle
+
     def finish(self, handle: Dict) -> List[Dict]:
         """Pull the device results of a submit() and finish on host
         (upscale survivor masks, RLE encode, schema assembly)."""
@@ -277,19 +326,24 @@ class AutomaticMaskGenerator:
             masks, iou, stability, pts, crop_boxes = self._finish_crops(
                 handle)
         else:
-            out = handle["out"]
+            self.prefetch(handle)
             s_in = self.cfg.encoder.img_size
-            n, small = self._pull_survivors(out)
+            n, small = handle["n"], handle["small"]
             if n == 0:
                 return []
-            # upscale to the full square input, download BIT-PACKED
-            # (8x smaller transfer), crop on host
-            packed = jax.device_get(
-                upscale_binary(out["masks_low"][:self._bucket(n)],
-                               (s_in, s_in), self.cfg.mask_threshold))
             iou = small["iou"][:n]
             stability = small["stability"][:n]
             pts = small["points"][:n]
+            if "rle_dev" in handle:
+                # fastest path: runs were computed ON DEVICE, the download
+                # is boundary indices + metadata (~8x less wire time than
+                # even the bit-packed bitmap on a thin link)
+                payload16, meta32 = jax.device_get(handle["rle_dev"])
+                return self._assemble_rle(payload16, meta32, handle, n,
+                                          iou, stability, pts, h, w)
+            # upscaled to the full square input (enqueued by prefetch),
+            # downloaded BIT-PACKED (8x smaller transfer), cropped on host
+            packed = jax.device_get(handle["packed_dev"])
             if self.amg.min_mask_region_area == 0:
                 # fast path: RLE + area + bbox straight from the packed
                 # bits in one native pass per mask — the unpacked (n, S, S)
@@ -302,6 +356,37 @@ class AutomaticMaskGenerator:
             masks = masks[:, :h, :w].astype(bool)
             crop_boxes = [(0, 0, w, h)] * n
         return self._assemble(masks, iou, stability, pts, crop_boxes, h, w)
+
+    def _assemble_rle(self, payload16, meta32, handle, n: int, iou,
+                      stability, pts, h: int, w: int) -> List[Dict]:
+        """Annotations from the device-computed RLE boundaries; masks whose
+        columns overflowed MAX_RUNS_PER_COL (speckle, not blobby SAM masks)
+        fall back to a one-mask bit-packed download."""
+        s_in = self.cfg.encoder.img_size
+        decoded = device_rle.annotations_from_rle_payload(
+            payload16, meta32, n, h, w, s_in, MAX_RUNS_PER_COL)
+        anns = []
+        for i, d in enumerate(decoded):
+            if d is None:  # overflow fallback: exact packed path, one mask
+                packed = jax.device_get(upscale_binary(
+                    handle["out"]["masks_low"][i:i + 1], (s_in, s_in),
+                    self.cfg.mask_threshold))[0]
+                r, area_i, bbox = rle.encode_packed(packed, h, w)
+            else:
+                r, area_i, bbox = d
+            if area_i == 0:
+                continue
+            anns.append({
+                "segmentation": r,
+                "area": int(area_i),
+                "bbox": [float(v) for v in bbox],
+                "predicted_iou": float(iou[i]),
+                "point_coords": [[float(pts[i][0]), float(pts[i][1])]],
+                "stability_score": float(stability[i]),
+                "crop_box": [0, 0, w, h],
+            })
+        anns.sort(key=lambda a: a["area"], reverse=True)
+        return anns
 
     def _assemble_packed(self, packed, n: int, iou, stability, pts,
                          h: int, w: int) -> List[Dict]:

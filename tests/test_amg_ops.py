@@ -245,3 +245,27 @@ def test_amg_small_region_renms_drops_duplicate():
     assert len(anns) == 2               # noisy collapsed into base
     areas = sorted(a["area"] for a in anns)
     assert areas == [60, 256]
+
+
+def test_amg_rle_overflow_fallback(monkeypatch):
+    """With MAX_RUNS_PER_COL forced to 1, (almost) every mask overflows the
+    device-RLE budget and _assemble_rle takes the per-mask bit-packed
+    fallback — annotations must be identical to the default path."""
+    import jax
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models.sam import amg as amg_mod
+    from llmseg_tpu.models.sam import sam as sam_lib
+    from tests.test_parity_amg import _blob_image, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    params = sam_lib.init(jax.random.PRNGKey(0), cfg)
+    img = _blob_image()
+    filt = dict(points_per_side=4, pred_iou_thresh=0.0,
+                stability_score_thresh=0.0, max_masks=32)
+    gen = amg_mod.AutomaticMaskGenerator(params, cfg, C.AMGConfig(**filt))
+    base = gen.generate(img)
+    assert base, "fixture produced no masks"
+    monkeypatch.setattr(amg_mod, "MAX_RUNS_PER_COL", 1)
+    gen2 = amg_mod.AutomaticMaskGenerator(params, cfg, C.AMGConfig(**filt))
+    assert gen2.generate(img) == base

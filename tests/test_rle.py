@@ -195,3 +195,60 @@ def test_encode_packed_numpy_fallback(monkeypatch):
     ref = rle.encode(m)
     assert r["counts"] == ref["counts"]
     assert a == 24 and bbox == [3.0, 2.0, 7.0, 2.0]
+
+
+# ---------------------------------------------------------------------------
+# on-device RLE (ops/device_rle.py): boundary payload vs the golden codec
+# ---------------------------------------------------------------------------
+
+
+def test_device_rle_matches_golden_codec():
+    """upscale_rle boundaries -> counts must be byte-identical to
+    rle.encode of the identically-upscaled, cropped bitmap — blobby masks,
+    empty masks, and speckle (overflow flag honesty) alike."""
+    import jax
+    import jax.numpy as jnp
+
+    from llmseg_tpu.ops import device_rle
+
+    rng = np.random.default_rng(0)
+    S, P = 64, 8
+    for trial in range(12):
+        h = int(rng.integers(30, S + 1))
+        w = int(rng.integers(30, S + 1))
+        K = 5
+        low = np.full((K, 16, 16), -8.0, np.float32)
+        for k in range(K):
+            if trial % 4 == 3 and k == 0:
+                low[k] = rng.normal(0, 4, (16, 16))  # speckle
+            elif not (trial % 4 == 2 and k == 1):    # k==1: leave empty
+                cy, cx = rng.integers(2, 14, 2)
+                r = int(rng.integers(2, 7))
+                yy, xx = np.meshgrid(np.arange(16), np.arange(16),
+                                     indexing="ij")
+                low[k][(yy - cy) ** 2 + (xx - cx) ** 2 < r ** 2] = 8.0
+        payload16, meta32 = device_rle.upscale_rle(
+            jnp.asarray(low), jnp.asarray([h, w], jnp.int32), (S, S),
+            0.0, bucket=K, max_per_col=P)
+        payload16, meta32 = np.asarray(payload16), np.asarray(meta32)
+        up = np.asarray(jax.image.resize(
+            jnp.asarray(low, jnp.float32)[..., None], (K, S, S, 1),
+            method="bilinear"))[..., 0]
+        bits = (up > 0.0)[:, :h, :w]
+        got = device_rle.annotations_from_rle_payload(
+            payload16, meta32, K, h, w, S, P)
+        for k in range(K):
+            ref = rle.encode(bits[k].astype(np.uint8))
+            if got[k] is None:  # overflow flagged: must be genuinely >P runs
+                per_col = max(len(rle.mask_to_counts(bits[k][:, j:j + 1]))
+                              for j in range(w))
+                assert meta32[k][6] == 1 and per_col >= P
+                continue
+            r_got, a_got, bbox_got = got[k]
+            assert r_got["counts"] == ref["counts"], (trial, k)
+            assert a_got == rle.area(ref)
+            ys, xs = np.nonzero(bits[k])
+            if len(xs):
+                assert bbox_got == [float(xs.min()), float(ys.min()),
+                                    float(xs.max() - xs.min()),
+                                    float(ys.max() - ys.min())]
