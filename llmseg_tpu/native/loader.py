@@ -41,8 +41,9 @@ def _load() -> Optional[ctypes.CDLL]:
         lib = ctypes.CDLL(_LIB_PATH)
     except OSError:
         return None
-    if not hasattr(lib, "rle_packed_encode"):
-        return None  # stale binary without the fused symbol; numpy fallback
+    if not (hasattr(lib, "rle_packed_encode")
+            and hasattr(lib, "rle_counts_to_string")):
+        return None  # stale binary without newer symbols; numpy fallback
     lib.rle_mask_to_counts.restype = ctypes.c_int64
     lib.rle_mask_to_counts.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
@@ -56,6 +57,9 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
         ctypes.c_int64, ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
         ctypes.POINTER(ctypes.c_double)]
+    lib.rle_counts_to_string.restype = ctypes.c_int64
+    lib.rle_counts_to_string.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_char_p]
     lib.mask_iou_iop.restype = None
     lib.mask_iou_iop.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_uint8),
@@ -115,6 +119,20 @@ def packed_encode(packed: np.ndarray, h: int, w: int):
         ctypes.byref(area), bbox)
     return (_str_buf[:n].tobytes().decode("ascii"), int(area.value),
             list(bbox))
+
+
+def counts_to_string(counts: np.ndarray) -> str:
+    """int64 counts -> pycocotools varint string in one C pass."""
+    global _str_buf
+    lib = _load()
+    counts = np.ascontiguousarray(counts, np.int64)
+    need = (len(counts) + 1) * 13
+    if _str_buf.size < need:
+        _str_buf = np.empty(need, np.uint8)
+    n = lib.rle_counts_to_string(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), len(counts),
+        _str_buf.ctypes.data_as(ctypes.c_char_p))
+    return _str_buf[:n].tobytes().decode("ascii")
 
 
 def mask_iou_iop(gt: np.ndarray, props: np.ndarray):

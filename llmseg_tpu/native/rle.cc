@@ -136,6 +136,29 @@ int64_t rle_packed_encode(const uint8_t* packed, int64_t stride,
   return slen;
 }
 
+// counts -> pycocotools varint string (rleToString).  str_out must hold
+// >= 6*n + 1 chars.  Returns the string length.  Used by the on-device-RLE
+// finish path (ops/device_rle.py), where the host receives run boundaries
+// and only needs the varint encode.
+int64_t rle_counts_to_string(const int64_t* counts, int64_t n,
+                             char* str_out) {
+  int64_t slen = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    int64_t x = counts[i];
+    if (i > 2) x -= counts[i - 2];
+    bool more = true;
+    while (more) {
+      int64_t ch = x & 0x1F;
+      x >>= 5;  // arithmetic shift keeps sign for negative deltas
+      more = !((x == 0 && !(ch & 0x10)) || (x == -1 && (ch & 0x10)));
+      if (more) ch |= 0x20;
+      str_out[slen++] = (char)(ch + 48);
+    }
+  }
+  str_out[slen] = '\0';
+  return slen;
+}
+
 // Batch IoU/IoP between one GT mask and K proposal masks, all (h, w) uint8.
 // Replaces the reference's per-proposal Python loop (utils/utils.py:234-272)
 // for the host-side label computation.  iop = intersection / proposal_area.

@@ -30,6 +30,8 @@ RLE = Dict  # {"size": [H, W], "counts": str | list[int]}
 
 
 def counts_to_string(counts: Sequence[int]) -> str:
+    if _native.available() and len(counts) > 8:
+        return _native.counts_to_string(np.asarray(counts, np.int64))
     s = []
     for i, c in enumerate(counts):
         x = int(c)
