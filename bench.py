@@ -168,7 +168,8 @@ def _init_params(cfg, dtype):
     return params
 
 
-def run(config_name: str, quant_bits: int | None = None):
+def run(config_name: str, quant_bits: int | None = None,
+        w8a8: bool = False):
     import jax
 
     from llmseg_tpu.data.synthetic import make_batch
@@ -190,6 +191,7 @@ def run(config_name: str, quant_bits: int | None = None):
         lambda p, b: llmseg.predict(p, cfg, b)["pred_similarity"].sum())
 
     probe_sim = None
+    probe_top1 = None
     if quant_bits:
         # quality probe: bf16 similarities on a fixed batch BEFORE
         # quantizing (weights are then mutated in place; both full trees
@@ -207,10 +209,10 @@ def run(config_name: str, quant_bits: int | None = None):
 
         t0 = time.perf_counter()
         quant.quantize_llama_inplace(params["llava"]["llm"],
-                                     bits=quant_bits)
+                                     bits=quant_bits, w8a8=w8a8)
         jax.block_until_ready(params["llava"]["llm"])
-        log(f"bench: int{quant_bits} weight-only quantization "
-            f"{time.perf_counter() - t0:.1f}s")
+        log(f"bench: int{quant_bits}{'-w8a8' if w8a8 else ''} "
+            f"quantization {time.perf_counter() - t0:.1f}s")
         if probe_sim is not None:
             def _probe_q():
                 return jax.device_get(jax.jit(
@@ -224,11 +226,15 @@ def run(config_name: str, quant_bits: int | None = None):
                 a = np.asarray(probe_sim, np.float32)
                 b = np.asarray(q_sim, np.float32)
                 top1 = float(np.mean(a.argmax(-1) == b.argmax(-1)))
-                log(f"bench: int{quant_bits} quality vs bf16: "
-                    f"top1_agreement={top1:.3f} "
+                log(f"bench: int{quant_bits}{'-w8a8' if w8a8 else ''} "
+                    f"quality vs bf16: top1_agreement={top1:.3f} "
                     f"max|dsim|={float(np.abs(a - b).max()):.4f} "
                     f"(random-init weights; real-weight delta needs "
                     f"checkpoints, see COMPONENTS.md gap 1)")
+                if w8a8:
+                    # the orchestrator only promotes the W8A8 lane to the
+                    # headline when the probe ranking is exact
+                    probe_top1 = top1
         del probe
 
     # ---- batch sweep ----
@@ -243,6 +249,13 @@ def run(config_name: str, quant_bits: int | None = None):
     # the batch-8 capacity point; it skips batch 1 (the bf16 lane covers
     # latency, and batch-1 compiles cost 10+ min each).
     sizes = (4, 8) if quant_bits else (4, 1)
+    if quant_bits and w8a8:
+        t1 = "na" if probe_top1 is None else f"{probe_top1:.3f}"
+        tag = f",int{quant_bits}-w8a8,top1={t1}"
+    elif quant_bits:
+        tag = f",int{quant_bits}"
+    else:
+        tag = ""
     results = {}
     for bsz in sizes:
         def _point(bsz=bsz):
@@ -262,14 +275,14 @@ def run(config_name: str, quant_bits: int | None = None):
             f"{ips:.2f} img/s, MFU {mfu * 100:.1f}% "
             f"(compile {compile_s:.1f}s, val {val:.3f})")
         best = max(results, key=lambda b: results[b][0])
-        print(_result_line(config_name, best, *results[best],
-                           quant_bits), flush=True)
+        print(_result_line(config_name, best, *results[best], tag),
+              flush=True)
 
     if not results:
         raise RuntimeError("no batch size fit")
     best_bsz = max(results, key=lambda b: results[b][0])
     ips, mfu = results[best_bsz]
-    return ips, mfu, best_bsz
+    return ips, mfu, best_bsz, tag
 
 
 def run_tower(config_name: str, tower: str):
@@ -338,8 +351,7 @@ def run_tower(config_name: str, tower: str):
     return dt
 
 
-def _result_line(config_name, bsz, ips, mfu, quant_bits=None):
-    tag = f",int{quant_bits}" if quant_bits else ""
+def _result_line(config_name, bsz, ips, mfu, tag=""):
     return json.dumps({
         "metric": (f"reasonseg_e2e_infer_images_per_sec_chip"
                    f"[{config_name},batch{bsz}{tag},"
@@ -395,6 +407,10 @@ def main():
                     help="time one tower only (implies --config)")
     ap.add_argument("--quant", type=int, default=None, choices=[8, 4],
                     help="int weight-only quantized sweep (ref load_8bit)")
+    ap.add_argument("--w8a8", action="store_true",
+                    help="with --quant 8: also quantize activations per "
+                         "token and run s8 x s8 MXU matmuls (double rate; "
+                         "beyond the reference's load_8bit)")
     args = ap.parse_args()
 
     if args.config:
@@ -406,8 +422,10 @@ def main():
                     "value": round(dt * 1e3, 3), "unit": "ms",
                     "vs_baseline": None}))
             else:
-                ips, mfu, bsz = run(args.config, quant_bits=args.quant)
-                print(_result_line(args.config, bsz, ips, mfu, args.quant))
+                ips, mfu, bsz, tag = run(args.config,
+                                         quant_bits=args.quant,
+                                         w8a8=args.w8a8)
+                print(_result_line(args.config, bsz, ips, mfu, tag))
             return
         except Exception as e:
             log(f"bench: {args.config} failed: {type(e).__name__}: {e}")
@@ -449,6 +467,17 @@ def main():
             if int8_line:
                 log(f"bench: RESULT {flagship} int8: {int8_line}")
 
+        # W8A8 lane (s8 x s8 MXU matmuls, double rate): promoted to the
+        # headline only when it wins AND its ranking probe was exact
+        # (top1=1.000 in the metric tag)
+        w8a8_line = None
+        if time_left() > 1200:
+            w8a8_line = _subprocess(
+                ["--config", flagship, "--quant", "8", "--w8a8"],
+                timeout=min(3600, time_left()))
+            if w8a8_line:
+                log(f"bench: RESULT {flagship} w8a8: {w8a8_line}")
+
         # reproducible tower breakdown, each in its own process
         for t in TOWERS:
             if time_left() < 600:
@@ -470,6 +499,14 @@ def main():
                 pass
         if not headline:
             headline = int8_line
+        if headline and w8a8_line:
+            try:
+                w = json.loads(w8a8_line)
+                if ("top1=1.000" in w["metric"]
+                        and w["value"] > json.loads(headline)["value"]):
+                    headline = w8a8_line
+            except Exception:
+                pass
         if not headline and time_left() > 300:
             headline = _subprocess(["--config", "llmseg_small"],
                                    timeout=max(600, time_left()))

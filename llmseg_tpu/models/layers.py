@@ -56,7 +56,7 @@ def dense_init(key, in_dim: int, out_dim: int, bias: bool = True,
 
 
 def dense(p: Params, x: jnp.ndarray) -> jnp.ndarray:
-    if "w_q" in p or "w_q4" in p:      # int8/int4 weight-only quantized leaf
+    if "w_q" in p or "w_q4" in p or "w_q8a" in p:  # quantized leaf
         from llmseg_tpu.ops.quant import qdense
 
         return qdense(p, x)

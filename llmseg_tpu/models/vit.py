@@ -34,9 +34,25 @@ def _attn_init(key, dim, dtype):
 
 def _attn(p, x, num_heads):
     B, T, C = x.shape
-    q = L.dense(p["q"], x).reshape(B, T, num_heads, -1)
-    k = L.dense(p["k"], x).reshape(B, T, num_heads, -1)
-    v = L.dense(p["v"], x).reshape(B, T, num_heads, -1)
+    if T <= 1024:
+        # latency-bound small-T towers (CLIP @257): one fused (C, 3C)
+        # projection beats three (C, C) matmuls' per-kernel ramp-up —
+        # measured CLIP tower 5.5 -> 4.7 ms.  At DINOv2's T=4097 the three
+        # gemms are already compute-bound and XLA streams them over one
+        # read of x, so the fused concat measured ~1 ms WORSE per tower —
+        # hence the gate (isolated-kernel wins vanish in-situ; see
+        # COMPONENTS.md measured dead ends)
+        w = jnp.concatenate([p["q"]["w"], p["k"]["w"], p["v"]["w"]], axis=1)
+        qkv = x @ w
+        if "b" in p["q"]:
+            qkv = qkv + jnp.concatenate(
+                [p["q"]["b"], p["k"]["b"], p["v"]["b"]])
+        q, k, v = (y.reshape(B, T, num_heads, -1)
+                   for y in jnp.split(qkv, 3, axis=-1))
+    else:
+        q = L.dense(p["q"], x).reshape(B, T, num_heads, -1)
+        k = L.dense(p["k"], x).reshape(B, T, num_heads, -1)
+        v = L.dense(p["v"], x).reshape(B, T, num_heads, -1)
     o = attention(q, k, v).reshape(B, T, C)
     return L.dense(p["out"], o)
 

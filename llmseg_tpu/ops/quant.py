@@ -33,6 +33,19 @@ def quantize_dense(p: Dict) -> Dict:
     return out
 
 
+def quantize_dense_w8a8(p: Dict) -> Dict:
+    """Like quantize_dense, but stored under 'w_q8a': the apply path also
+    quantizes ACTIVATIONS per token and runs the matmul s8 x s8 -> s32 on
+    the MXU's double-rate int8 path (v5e: 394 vs 197 TOPs).  Beyond the
+    reference's load_8bit (weight-only dequant): measured 1.5x per matmul
+    at LLaMA-7B shapes, opt-in because real-weight selection-quality under
+    activation quantization is unvalidated in this checkpoint-less
+    environment (ranking probe in bench.py --w8a8)."""
+    out = dict(quantize_dense(p))
+    out["w_q8a"] = out.pop("w_q")
+    return out
+
+
 def quantize_dense4(p: Dict, group: int = 128) -> Dict:
     """{'w': (in, out) float, 'b'?} -> {'w_q4': (padded_in/2, out) int8
     packed nibbles, 'w_scale4': (n_groups, out)}.  The original in_dim is
@@ -57,7 +70,7 @@ def quantize_dense4(p: Dict, group: int = 128) -> Dict:
 
 
 def is_quantized(p: Dict) -> bool:
-    return "w_q" in p or "w_q4" in p
+    return "w_q" in p or "w_q4" in p or "w_q8a" in p
 
 
 def _qdense4(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
@@ -80,11 +93,27 @@ def _qdense4(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
 
 
 def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
-    """x @ dequant(w).  int8: (x @ w_q) * scale — the int8 matmul runs
-    natively on the MXU, the scale fuses into the epilogue.  int4: unpack +
+    """x @ dequant(w).  'w_q' (weight-only int8): cast w to x.dtype in the
+    matmul prologue, scale in the epilogue — bf16-rate compute, half the
+    weight HBM.  'w_q8a' (W8A8): dynamic per-token activation quant + a
+    native s8 x s8 -> s32 MXU dot at double rate, rescaled by the outer
+    product of activation and weight scales.  int4: unpack +
     blockwise-dequant then matmul."""
     if "w_q4" in p:
         return _qdense4(p, x)
+    if "w_q8a" in p:
+        xf = x.astype(jnp.float32)
+        sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-6) / 127.0
+        xq = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            xq, p["w_q8a"],
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        y = (y.astype(jnp.float32) * sc * p["w_scale"]).astype(x.dtype)
+        if "b" in p:
+            y = y + p["b"]
+        return y
     y = jax.lax.dot_general(
         x, p["w_q"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -95,12 +124,21 @@ def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def quantize_tree(params, predicate=None, bits: int = 8):
+def _pick_qfn(bits: int, w8a8: bool):
+    assert bits in (8, 4), bits
+    assert not (w8a8 and bits == 4), "W8A8 is an int8 mode"
+    if bits == 4:
+        return quantize_dense4
+    return quantize_dense_w8a8 if w8a8 else quantize_dense
+
+
+def quantize_tree(params, predicate=None, bits: int = 8,
+                  w8a8: bool = False):
     """Quantize every dense leaf-dict ({'w': 2D}) in a pytree.  predicate
     (path_tuple -> bool) can exclude subtrees (e.g. norms are left alone —
-    they are 1D and skipped automatically).  bits: 8 or 4."""
-    assert bits in (8, 4), bits
-    qfn = quantize_dense if bits == 8 else quantize_dense4
+    they are 1D and skipped automatically).  bits: 8 or 4; w8a8 also
+    quantizes activations at apply time (see quantize_dense_w8a8)."""
+    qfn = _pick_qfn(bits, w8a8)
 
     def walk(node, path):
         if isinstance(node, dict):
@@ -121,22 +159,22 @@ def _llama_pred(path):
     return "attn" in joined or "mlp" in joined or "lm_head" in joined
 
 
-def quantize_llama(llm_params: Dict, bits: int = 8) -> Dict:
+def quantize_llama(llm_params: Dict, bits: int = 8,
+                   w8a8: bool = False) -> Dict:
     """Quantize LLaMA projection weights; embeddings and norms stay full
     precision (embedding rows are gathered, not matmul'd)."""
-    return quantize_tree(llm_params, _llama_pred, bits=bits)
+    return quantize_tree(llm_params, _llama_pred, bits=bits, w8a8=w8a8)
 
 
-def quantize_llama_inplace(llm_params: Dict, bits: int = 8) -> Dict:
+def quantize_llama_inplace(llm_params: Dict, bits: int = 8,
+                           w8a8: bool = False) -> Dict:
     """In-place variant for memory-tight live trees (7B bf16 weights are
     13.5 GB of a 16 GB chip: building a second quantized tree while the
     first is still referenced would OOM).  Mutates the dicts leaf by leaf,
     dropping each bf16 weight as soon as its int copy exists, so peak extra
     HBM is one layer's weights, not the whole model's.  Donating the source
     buffer into the jitted per-leaf quantizer lets XLA reuse it."""
-    assert bits in (8, 4), bits
-    qfn = jax.jit(quantize_dense if bits == 8 else quantize_dense4,
-                  donate_argnums=0)
+    qfn = jax.jit(_pick_qfn(bits, w8a8), donate_argnums=0)
 
     def walk(node, path):
         if isinstance(node, dict):

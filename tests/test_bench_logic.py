@@ -19,8 +19,11 @@ def test_result_line_is_self_describing():
     assert d["unit"] == "images/s" and d["value"] == 9.01
     assert "vs_baseline=mfu_v5e_bf16" in d["metric"]
     assert "batch4" in d["metric"]
-    d8 = json.loads(bench._result_line("llmseg_7b", 8, 10.0, 0.6, 8))
+    d8 = json.loads(bench._result_line("llmseg_7b", 8, 10.0, 0.6, ",int8"))
     assert "int8" in d8["metric"]
+    dw = json.loads(bench._result_line(
+        "llmseg_7b", 4, 12.0, 0.9, ",int8-w8a8,top1=1.000"))
+    assert "int8-w8a8" in dw["metric"] and "top1=1.000" in dw["metric"]
 
 
 def test_with_retry_retries_then_succeeds(monkeypatch):

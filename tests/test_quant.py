@@ -136,3 +136,38 @@ def test_quantized_e2e_predict():
     assert np.corrcoef(a, b)[0, 1] > 0.99
     np.testing.assert_array_equal(np.asarray(ref["prop_valid"]),
                                   np.asarray(got["prop_valid"]))
+
+
+def test_qdense_w8a8_close_to_dense():
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    p = {"w": jax.random.normal(k1, (64, 32)) * 0.1,
+         "b": jax.random.normal(k2, (32,)) * 0.01}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+    qp = quant.quantize_dense_w8a8(p)
+    assert qp["w_q8a"].dtype == jnp.int8 and "w_q" not in qp
+    ref = np.asarray(L.dense(p, x))
+    got = np.asarray(quant.qdense(qp, x))
+    # int8 weights x int8 per-token activations: ~2% on random gaussians
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.04, rel
+    np.testing.assert_array_equal(np.asarray(L.dense(qp, x)), got)
+
+
+def test_w8a8_e2e_predict():
+    """W8A8 LLaMA (s8 x s8 matmuls) inside the full predict path keeps the
+    similarity ranking on the synthetic batch."""
+    from llmseg_tpu import config as C2
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg = C2.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    ref = llmseg.predict(params, cfg, batch)
+    quant.quantize_llama_inplace(params["llava"]["llm"], bits=8, w8a8=True)
+    leaf = params["llava"]["llm"]["layers"][0]["attn"]["q"]
+    assert "w_q8a" in leaf and "w" not in leaf
+    got = llmseg.predict(params, cfg, batch)
+    a = np.asarray(ref["pred_similarity"]).ravel()
+    b = np.asarray(got["pred_similarity"]).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
