@@ -41,6 +41,12 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--load_4bit", action="store_true",
                    help="packed-int4 weight-only LLM for inference "
                         "(reference builder.py:48-58)")
+    p.add_argument("--w8a8", action="store_true",
+                   help="with --load_8bit: also quantize activations per "
+                        "token and run s8 x s8 MXU matmuls (double rate; "
+                        "+35%% e2e at 7B — beyond the reference's "
+                        "load_8bit; validate ranking on your checkpoint "
+                        "before relying on it)")
     p.add_argument("--model_max_length", type=int, default=512)
     p.add_argument("--out_dim", type=int, default=256)
     p.add_argument("--use_mm_start_end", action="store_true", default=True)

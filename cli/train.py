@@ -56,7 +56,8 @@ def main(argv=None):
         from llmseg_tpu.ops import quant
 
         quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
-                                     bits=4 if args.load_4bit else 8)
+                                     bits=4 if args.load_4bit else 8,
+                                     w8a8=args.w8a8 and not args.load_4bit)
 
     import jax
 
