@@ -499,11 +499,12 @@ def main():
                 pass
         if not headline:
             headline = int8_line
-        if headline and w8a8_line:
+        if w8a8_line:
             try:
                 w = json.loads(w8a8_line)
-                if ("top1=1.000" in w["metric"]
-                        and w["value"] > json.loads(headline)["value"]):
+                if "top1=1.000" in w["metric"] and (
+                        headline is None
+                        or w["value"] > json.loads(headline)["value"]):
                     headline = w8a8_line
             except Exception:
                 pass

@@ -20,6 +20,9 @@ def main(argv=None):
     from llmseg_tpu.train.trainer import Trainer
 
     args = common.build_parser("train").parse_args(argv)
+    if args.w8a8 and not args.load_8bit:
+        raise SystemExit("--w8a8 is an int8 mode; combine it with "
+                         "--load_8bit, not --load_4bit or alone")
     if (args.load_8bit or args.load_4bit) and not args.eval_only:
         raise SystemExit("--load_8bit/--load_4bit are inference-only "
                          "(reference builder.py loads them for eval); "
@@ -55,9 +58,12 @@ def main(argv=None):
         # and int trees never coexist on a 16 GB chip.
         from llmseg_tpu.ops import quant
 
+        if args.w8a8 and args.load_4bit:
+            raise SystemExit("--w8a8 is an int8 mode; combine it with "
+                             "--load_8bit, not --load_4bit")
         quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
                                      bits=4 if args.load_4bit else 8,
-                                     w8a8=args.w8a8 and not args.load_4bit)
+                                     w8a8=args.w8a8)
 
     import jax
 

@@ -341,16 +341,10 @@ class AutomaticMaskGenerator:
                 payload16, meta32 = jax.device_get(handle["rle_dev"])
                 return self._assemble_rle(payload16, meta32, handle, n,
                                           iou, stability, pts, h, w)
-            # upscaled to the full square input (enqueued by prefetch),
-            # downloaded BIT-PACKED (8x smaller transfer), cropped on host
+            # min_mask_region_area > 0 (hole/island cleanup needs the
+            # bitmap): upscaled to the full square input (enqueued by
+            # prefetch), downloaded BIT-PACKED, cropped on host
             packed = jax.device_get(handle["packed_dev"])
-            if self.amg.min_mask_region_area == 0:
-                # fast path: RLE + area + bbox straight from the packed
-                # bits in one native pass per mask — the unpacked (n, S, S)
-                # buffer, the nonzero bbox scan, and the python varint
-                # loop never exist (native/rle.cc rle_packed_encode)
-                return self._assemble_packed(packed, n, iou, stability,
-                                             pts, h, w)
             masks = np.unpackbits(packed[:n], axis=-1,
                                   count=s_in).reshape(n, s_in, s_in)
             masks = masks[:, :h, :w].astype(bool)
@@ -361,17 +355,21 @@ class AutomaticMaskGenerator:
                       stability, pts, h: int, w: int) -> List[Dict]:
         """Annotations from the device-computed RLE boundaries; masks whose
         columns overflowed MAX_RUNS_PER_COL (speckle, not blobby SAM masks)
-        fall back to a one-mask bit-packed download."""
+        fall back to the bit-packed download — ONE batched dispatch for all
+        of them, not a round trip per mask (a fully-speckled frame would
+        otherwise pay 64 serial ~45 ms transfers)."""
         s_in = self.cfg.encoder.img_size
         decoded = device_rle.annotations_from_rle_payload(
             payload16, meta32, n, h, w, s_in, MAX_RUNS_PER_COL)
+        packed = None
+        if any(d is None for d in decoded):
+            packed = jax.device_get(upscale_binary(
+                handle["out"]["masks_low"], (s_in, s_in),
+                self.cfg.mask_threshold, bucket=self._bucket(n)))
         anns = []
         for i, d in enumerate(decoded):
-            if d is None:  # overflow fallback: exact packed path, one mask
-                packed = jax.device_get(upscale_binary(
-                    handle["out"]["masks_low"][i:i + 1], (s_in, s_in),
-                    self.cfg.mask_threshold))[0]
-                r, area_i, bbox = rle.encode_packed(packed, h, w)
+            if d is None:  # overflow fallback: exact packed path
+                r, area_i, bbox = rle.encode_packed(packed[i], h, w)
             else:
                 r, area_i, bbox = d
             if area_i == 0:
@@ -379,28 +377,6 @@ class AutomaticMaskGenerator:
             anns.append({
                 "segmentation": r,
                 "area": int(area_i),
-                "bbox": [float(v) for v in bbox],
-                "predicted_iou": float(iou[i]),
-                "point_coords": [[float(pts[i][0]), float(pts[i][1])]],
-                "stability_score": float(stability[i]),
-                "crop_box": [0, 0, w, h],
-            })
-        anns.sort(key=lambda a: a["area"], reverse=True)
-        return anns
-
-    def _assemble_packed(self, packed, n: int, iou, stability, pts,
-                         h: int, w: int) -> List[Dict]:
-        """Reference-schema annotations from bit-packed masks (the
-        min_mask_region_area == 0 default: no hole/island cleanup, every
-        crop box is the full frame)."""
-        anns = []
-        for i in range(n):
-            r, area, bbox = rle.encode_packed(packed[i], h, w)
-            if area == 0:
-                continue
-            anns.append({
-                "segmentation": r,
-                "area": int(area),
                 "bbox": [float(v) for v in bbox],
                 "predicted_iou": float(iou[i]),
                 "point_coords": [[float(pts[i][0]), float(pts[i][1])]],

@@ -34,9 +34,10 @@ def _attn_init(key, dim, dtype):
 
 def _attn(p, x, num_heads):
     B, T, C = x.shape
-    if T <= 1024:
-        # latency-bound small-T towers (CLIP @257): one fused (C, 3C)
-        # projection beats three (C, C) matmuls' per-kernel ramp-up —
+    if T <= 1024 and "w" in p["q"]:
+        # latency-bound small-T towers (CLIP @257) with unquantized leaves
+        # (quantized ones route through L.dense -> qdense below): one
+        # fused (C, 3C) projection beats three (C, C) matmuls' ramp-up —
         # measured CLIP tower 5.5 -> 4.7 ms.  At DINOv2's T=4097 the three
         # gemms are already compute-bound and XLA streams them over one
         # read of x, so the fused concat measured ~1 ms WORSE per tower —
