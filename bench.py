@@ -362,6 +362,28 @@ def _result_line(config_name, bsz, ips, mfu, tag=""):
     })
 
 
+def _pick_headline(bf16_line, int8_line, w8a8_line):
+    """Best lane wins, with honesty gates: int8 weight-only is a
+    reference-supported mode (builder.py load_8bit) and competes freely;
+    the W8A8 lane (activation quant, beyond the reference) is promoted
+    only when its ranking probe was exact (top1=1.000 in the metric tag).
+    A lane whose line fails to parse never displaces a parsed one."""
+    def val(line):
+        try:
+            return json.loads(line)["value"]
+        except Exception:
+            return None
+
+    headline = bf16_line if val(bf16_line) is not None else None
+    if val(int8_line) is not None and (
+            headline is None or val(int8_line) > val(headline)):
+        headline = int8_line
+    if val(w8a8_line) is not None and "top1=1.000" in w8a8_line and (
+            headline is None or val(w8a8_line) > val(headline)):
+        headline = w8a8_line
+    return headline
+
+
 def _subprocess(argv, timeout=3600):
     import subprocess
 
@@ -486,28 +508,7 @@ def main():
             _subprocess(["--config", flagship, "--tower", t],
                         timeout=min(1800, time_left()))
 
-        # headline = best of the bf16 and int8 lanes (int8 weight-only is a
-        # reference-supported inference mode — builder.py load_8bit — and
-        # measures FASTER at 7B: 9.35 vs 8.98 img/s, the weight-HBM
-        # bandwidth saving outweighs the dequant epilogue)
-        if headline and int8_line:
-            try:
-                if (json.loads(int8_line)["value"]
-                        > json.loads(headline)["value"]):
-                    headline = int8_line
-            except Exception:
-                pass
-        if not headline:
-            headline = int8_line
-        if w8a8_line:
-            try:
-                w = json.loads(w8a8_line)
-                if "top1=1.000" in w["metric"] and (
-                        headline is None
-                        or w["value"] > json.loads(headline)["value"]):
-                    headline = w8a8_line
-            except Exception:
-                pass
+        headline = _pick_headline(headline, int8_line, w8a8_line)
         if not headline and time_left() > 300:
             headline = _subprocess(["--config", "llmseg_small"],
                                    timeout=max(600, time_left()))

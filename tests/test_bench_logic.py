@@ -86,3 +86,26 @@ def test_subprocess_none_when_no_line(tmp_path, monkeypatch):
     """)
     monkeypatch.setattr(bench, "__file__", stub)
     assert bench._subprocess([]) is None
+
+
+def test_pick_headline_gates_and_promotes():
+    bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
+    int8 = bench._result_line("llmseg_7b", 4, 9.33, 0.69, ",int8")
+    w_ok = bench._result_line("llmseg_7b", 4, 12.16, 0.90,
+                              ",int8-w8a8,top1=1.000")
+    w_bad = bench._result_line("llmseg_7b", 4, 12.16, 0.90,
+                               ",int8-w8a8,top1=0.875")
+    # best lane wins; W8A8 needs an exact probe
+    assert bench._pick_headline(bf16, int8, w_ok) == w_ok
+    assert bench._pick_headline(bf16, int8, w_bad) == int8
+    assert bench._pick_headline(bf16, None, None) == bf16
+    # W8A8 can carry the round when both other lanes failed (probe exact)
+    assert bench._pick_headline(None, None, w_ok) == w_ok
+    assert bench._pick_headline(None, None, w_bad) is None
+    # int8 carries when bf16 failed; garbage lines never displace parsed
+    assert bench._pick_headline(None, int8, None) == int8
+    assert bench._pick_headline(bf16, "not json", None) == bf16
+    # a slower W8A8 never displaces a faster reference-supported lane
+    w_slow = bench._result_line("llmseg_7b", 4, 9.1, 0.67,
+                                ",int8-w8a8,top1=1.000")
+    assert bench._pick_headline(bf16, int8, w_slow) == int8
