@@ -269,3 +269,33 @@ def test_amg_rle_overflow_fallback(monkeypatch):
     monkeypatch.setattr(amg_mod, "MAX_RUNS_PER_COL", 1)
     gen2 = amg_mod.AutomaticMaskGenerator(params, cfg, C.AMGConfig(**filt))
     assert gen2.generate(img) == base
+
+
+def test_amg_prefetch_contract():
+    """prefetch() is idempotent, finish() works with or without it, and
+    generate() == submit + prefetch + finish."""
+    import jax
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models.sam import sam as sam_lib
+    from llmseg_tpu.models.sam.amg import AutomaticMaskGenerator
+    from tests.test_parity_amg import _blob_image, _tiny_cfg
+
+    cfg = _tiny_cfg()
+    params = sam_lib.init(jax.random.PRNGKey(0), cfg)
+    img = _blob_image()
+    filt = dict(points_per_side=4, pred_iou_thresh=0.0,
+                stability_score_thresh=0.0, max_masks=32)
+    gen = AutomaticMaskGenerator(params, cfg, C.AMGConfig(**filt))
+    base = gen.generate(img)
+    assert base
+
+    h = gen.submit(img)
+    gen.prefetch(h)
+    dev1 = h.get("rle_dev")
+    gen.prefetch(h)  # second call must be a no-op
+    assert h.get("rle_dev") is dev1
+    assert gen.finish(h) == base
+
+    h2 = gen.submit(img)  # finish without an explicit prefetch
+    assert gen.finish(h2) == base
