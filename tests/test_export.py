@@ -106,3 +106,31 @@ def test_serving_export_roundtrip(tmp_path):
                                np.asarray(ref["pred_similarity"]), atol=2e-5)
     np.testing.assert_allclose(np.asarray(got["pred_iou"]),
                                np.asarray(ref["pred_iou"]), atol=2e-5)
+
+
+def test_serving_export_roundtrip_w8a8(tmp_path):
+    """A W8A8-quantized predict program exports and round-trips: int8
+    weights bake in as constants and the s8 x s8 dots survive StableHLO
+    serialization (quantized serving artifact, reference load_8bit
+    deployment analog)."""
+    import jax
+
+    from llmseg_tpu import config as C, serving
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+    from llmseg_tpu.ops import quant
+
+    cfg = C.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    quant.quantize_llama_inplace(params["llava"]["llm"], bits=8, w8a8=True)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    ref = llmseg.predict(params, cfg, batch)
+    path = str(tmp_path / "predict_w8a8.stablehlo")
+    serving.save_predict(path, params, cfg, num_images=1, rows=1,
+                         text_len=32, dtype=jnp.float32)
+    served = serving.load_predict(path)
+    shapes = serving.predict_arg_shapes(cfg, num_images=1, rows=1,
+                                        text_len=32, dtype=jnp.float32)
+    got = served({k: batch[k] for k in shapes})
+    np.testing.assert_allclose(np.asarray(got["pred_similarity"]),
+                               np.asarray(ref["pred_similarity"]), atol=2e-5)
