@@ -163,9 +163,18 @@ def test_train_cli_end_to_end(tmp_path):
     res8 = train_cli.main(argv + ["--eval_only", "--load_8bit"])
     assert res8 is not None and "giou" in res8
 
+    # W8A8 inference (activation quant + s8 x s8 matmuls) through the CLI
+    resw = train_cli.main(argv + ["--eval_only", "--load_8bit", "--w8a8"])
+    assert resw is not None and "giou" in resw
+
     # quantized load is fenced out of training (no silent no-op knobs)
     with pytest.raises(SystemExit):
         train_cli.main(argv + ["--load_8bit"])
+    # --w8a8 is int8-only and never a silent no-op
+    with pytest.raises(SystemExit):
+        train_cli.main(argv + ["--eval_only", "--w8a8"])
+    with pytest.raises(SystemExit):
+        train_cli.main(argv + ["--eval_only", "--load_4bit", "--w8a8"])
 
 
 @pytest.mark.slow
