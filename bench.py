@@ -285,10 +285,12 @@ def run(config_name: str, quant_bits: int | None = None,
     return ips, mfu, best_bsz, tag
 
 
-def run_tower(config_name: str, tower: str):
+def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
     """Time ONE tower in a fresh process (VERDICT r2 weak #3: in-process
     tower scans at 7B OOM against the sweep's leftovers; isolating each
-    tower makes the breakdown reproducible from the committed bench)."""
+    tower makes the breakdown reproducible from the committed bench).
+    quant_bits/w8a8 quantize the LLM in place first, so the W8A8 LLaMA
+    split (~40 ms vs 66 bf16) is reproducible too."""
     import jax
     import jax.numpy as jnp
 
@@ -298,6 +300,12 @@ def run_tower(config_name: str, tower: str):
     cfg, dtype = _setup(config_name)
     TEXT_LEN = 512
     params = _init_params(cfg, dtype)
+    if quant_bits:
+        from llmseg_tpu.ops import quant
+
+        quant.quantize_llama_inplace(params["llava"]["llm"],
+                                     bits=quant_bits, w8a8=w8a8)
+        jax.block_until_ready(params["llava"]["llm"])
     batch = make_batch(cfg, num_images=1, rows_per_image=1,
                        text_len=TEXT_LEN, dtype=dtype)
     lv = cfg.llava
@@ -438,9 +446,12 @@ def main():
     if args.config:
         try:
             if args.tower:
-                dt = run_tower(args.config, args.tower)
+                dt = run_tower(args.config, args.tower,
+                               quant_bits=args.quant, w8a8=args.w8a8)
+                qt = (f",int{args.quant}{'-w8a8' if args.w8a8 else ''}"
+                      if args.quant else "")
                 print(json.dumps({
-                    "metric": f"tower_ms[{args.config},{args.tower}]",
+                    "metric": f"tower_ms[{args.config},{args.tower}{qt}]",
                     "value": round(dt * 1e3, 3), "unit": "ms",
                     "vs_baseline": None}))
             else:
@@ -472,7 +483,11 @@ def main():
         headline = None
         flagship = "llmseg_7b"
         for attempt in (1, 2):
-            headline = _subprocess(["--config", flagship])
+            # bound each attempt so a wedged backend (init can hang for
+            # tens of minutes, observed 2026-08-17) cannot consume the
+            # whole deadline before the other lanes get a chance
+            headline = _subprocess(["--config", flagship],
+                                   timeout=min(2400, max(900, time_left())))
             if headline:
                 log(f"bench: RESULT {flagship}: {headline}")
                 break
@@ -506,6 +521,11 @@ def main():
                 log(f"bench: deadline reached, skipping tower {t}")
                 continue
             _subprocess(["--config", flagship, "--tower", t],
+                        timeout=min(1800, time_left()))
+        if time_left() > 600:
+            # the W8A8 LLaMA split, reproducible like the bf16 towers
+            _subprocess(["--config", flagship, "--tower", "llama",
+                         "--quant", "8", "--w8a8"],
                         timeout=min(1800, time_left()))
 
         headline = _pick_headline(headline, int8_line, w8a8_line)
