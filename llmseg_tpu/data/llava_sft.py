@@ -220,7 +220,7 @@ def sft_collate(instances: Sequence[Dict], tokenizer, *,
 
     for b, inst in enumerate(instances):
         ids = np.asarray(inst["input_ids"], np.int64)[:T]
-        tgt = np.asarray(inst["labels"], np.int64)[:T]
+        tgt = np.asarray(inst["labels"], np.int64)[:T].copy()
         img_where = np.nonzero(ids == IMAGE_TOKEN_INDEX)[0]
         if len(img_where) and inst["has_image"]:
             pos = int(img_where[0])
@@ -228,8 +228,11 @@ def sft_collate(instances: Sequence[Dict], tokenizer, *,
         else:
             # text-only: point the splice at the padded tail so the
             # (zeroed) image tokens land where causal attention cannot
-            # reach any real token
-            pos = min(len(ids), T - 1)
+            # reach any real token.  A row that fills the whole window is
+            # truncated to T-1 so the first genuine pad slot exists.
+            ids = ids[:T - 1]
+            tgt = tgt[:T - 1]
+            pos = len(ids)
         ids = ids.copy()
         ids[ids == IMAGE_TOKEN_INDEX] = pad_id
         tgt[tgt == IMAGE_TOKEN_INDEX] = IGNORE_INDEX

@@ -28,8 +28,12 @@ def _load() -> Optional[ctypes.CDLL]:
     if os.environ.get("LLMSEG_NO_NATIVE"):
         return None
     src = os.path.join(_DIR, "rle.cc")
-    stale = (not os.path.exists(_LIB_PATH)
-             or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    try:
+        stale = (not os.path.exists(_LIB_PATH)
+                 or os.path.getmtime(_LIB_PATH) < os.path.getmtime(src))
+    except OSError:
+        # rle.cc absent (prebuilt-.so-only deployment): not stale
+        stale = not os.path.exists(_LIB_PATH)
     if stale:
         try:
             subprocess.run(["make", "-C", _DIR, "-B"], check=True,
