@@ -88,6 +88,151 @@ def test_subprocess_none_when_no_line(tmp_path, monkeypatch):
     assert bench._subprocess([]) is None
 
 
+def test_stream_subprocess_tees_banked_lines(tmp_path, monkeypatch, capfd):
+    stub = _stub(tmp_path, """
+        print('{"metric": "m[batch4]", "value": 1.0}', flush=True)
+        print('{"metric": "m[batch8]", "value": 2.0}', flush=True)
+    """)
+    monkeypatch.setattr(bench, "__file__", stub)
+    line = bench._subprocess([], stream=True)
+    assert json.loads(line)["value"] == 2.0
+    out = capfd.readouterr().out.splitlines()
+    # both banked lines were tee'd to OUR stdout as they appeared
+    assert [json.loads(ln)["value"] for ln in out] == [1.0, 2.0]
+
+
+def test_stream_subprocess_salvages_on_timeout(tmp_path, monkeypatch, capfd):
+    stub = _stub(tmp_path, """
+        import time
+        print('{"metric": "m[batch4]", "value": 3.0}', flush=True)
+        time.sleep(120)   # wedged backend hang
+    """)
+    monkeypatch.setattr(bench, "__file__", stub)
+    line = bench._subprocess([], timeout=15, stream=True)
+    assert json.loads(line)["value"] == 3.0
+    out = capfd.readouterr().out.splitlines()
+    assert json.loads(out[-1])["value"] == 3.0
+
+
+def test_last_good_bank_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    assert bench._read_last_good() is None
+    fb = json.loads(bench._fallback_line("backend_outage"))
+    assert "last_known_good=none" in fb["metric"]
+    assert fb["value"] == 0.0
+
+    good = bench._result_line("llmseg_7b", 4, 12.16, 0.9,
+                              ",int8-w8a8,top1=1.000")
+    bench._write_last_good(good)
+    assert bench._read_last_good()["value"] == 12.16
+    fb = json.loads(bench._fallback_line("backend_outage"))
+    assert "last_known_good=12.16_w8a8_batch4" in fb["metric"]
+
+    # a zero-value line must never displace the banked good one
+    bench._write_last_good(bench._fallback_line("x"))
+    assert bench._read_last_good()["value"] == 12.16
+
+
+def _orchestrate_stubbed(monkeypatch, tmp_path, subprocess_fn, probe_fn):
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    monkeypatch.setattr(bench, "_subprocess", subprocess_fn)
+    monkeypatch.setattr(bench, "_probe_backend", probe_fn)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    return bench._orchestrate()
+
+
+def _assert_every_prefix_parseable(out_lines):
+    """The driver takes the LAST stdout line after a kill at ANY moment:
+    every line the orchestrator prints must itself be valid JSON."""
+    assert out_lines, "orchestrator printed nothing"
+    for ln in out_lines:
+        d = json.loads(ln)
+        assert "metric" in d and "value" in d
+
+
+def test_orchestrate_happy_path_banks_headline(tmp_path, monkeypatch,
+                                               capsys):
+    bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
+    int8 = bench._result_line("llmseg_7b", 8, 9.33, 0.69, ",int8")
+    w8a8 = bench._result_line("llmseg_7b", 4, 12.16, 0.9,
+                              ",int8-w8a8,top1=1.000")
+
+    def sub(argv, timeout=None, stream=False):
+        if "--tower" in argv:
+            return None
+        if "--w8a8" in argv:
+            return w8a8
+        if "--quant" in argv:
+            return int8
+        return bf16
+
+    rc = _orchestrate_stubbed(monkeypatch, tmp_path, sub, lambda **k: True)
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    _assert_every_prefix_parseable(out)
+    # first line lands before any lane; last line is the gated winner
+    assert "no_lane_completed_yet" in out[0]
+    assert json.loads(out[-1])["value"] == 12.16
+    assert bench._read_last_good()["value"] == 12.16
+
+
+def test_orchestrate_fails_fast_on_outage(tmp_path, monkeypatch, capsys):
+    calls = []
+
+    def sub(argv, timeout=None, stream=False):
+        calls.append(argv)
+        return None
+
+    rc = _orchestrate_stubbed(monkeypatch, tmp_path, sub,
+                              lambda **k: False)
+    assert rc == 1
+    assert calls == []          # no 40-minute lane against a dead backend
+    out = capsys.readouterr().out.splitlines()
+    _assert_every_prefix_parseable(out)
+    assert "backend_outage" in out[-1]
+
+
+def test_orchestrate_survives_kill_mid_lane(tmp_path, monkeypatch, capsys):
+    """Simulate the driver SIGKILLing the orchestrator during the int8
+    lane: everything already printed must end in a parseable line."""
+    import pytest
+
+    bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
+
+    def sub(argv, timeout=None, stream=False):
+        if "--quant" in argv:
+            raise KeyboardInterrupt   # stand-in for a kill
+        return bf16
+
+    with pytest.raises(KeyboardInterrupt):
+        _orchestrate_stubbed(monkeypatch, tmp_path, sub, lambda **k: True)
+    out = capsys.readouterr().out.splitlines()
+    _assert_every_prefix_parseable(out)
+    assert json.loads(out[-1])["value"] == 9.0   # best-so-far survived
+
+
+def test_orchestrate_w8a8_gate_still_applies(tmp_path, monkeypatch,
+                                             capsys):
+    bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
+    w_bad = bench._result_line("llmseg_7b", 4, 12.0, 0.9,
+                               ",int8-w8a8,top1=0.875")
+
+    def sub(argv, timeout=None, stream=False):
+        if "--tower" in argv or "--quant" in argv and "--w8a8" not in argv:
+            return None
+        if "--w8a8" in argv:
+            return w_bad
+        return bf16
+
+    rc = _orchestrate_stubbed(monkeypatch, tmp_path, sub, lambda **k: True)
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    _assert_every_prefix_parseable(out)
+    assert json.loads(out[-1])["value"] == 9.0   # inexact probe: no promo
+
+
 def test_pick_headline_gates_and_promotes():
     bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
     int8 = bench._result_line("llmseg_7b", 4, 9.33, 0.69, ",int8")
