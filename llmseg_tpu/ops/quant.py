@@ -15,10 +15,23 @@ exactly the reference's load_4bit trade."""
 
 from __future__ import annotations
 
+import os
 from typing import Dict
 
 import jax
 import jax.numpy as jnp
+
+# LLM.int8-style outlier decomposition for the W8A8 path (reference
+# load_8bit is bitsandbytes LLM.int8(), model/llava/model/builder.py:40-47,
+# which keeps activation-outlier columns in fp16).  Real LLaMA activations
+# carry a few hidden channels 20-100x larger than the rest; they inflate
+# the per-TOKEN quant scale and crush every other channel's precision.
+# TPU-friendly static-shape equivalent: per matmul, take the top-K columns
+# by |activation| (K static), compute their contribution in bf16 against
+# the dequantized weight rows, and ZERO them in the int8 operand so the
+# per-token scale is computed outlier-free.  K=32 of 4096 columns is <1%
+# extra FLOPs.  Set to 0 to ablate (plain symmetric W8A8).
+W8A8_OUTLIER_K = int(os.environ.get("LLMSEG_W8A8_OUTLIER_K", "32"))
 
 
 def quantize_dense(p: Dict) -> Dict:
@@ -103,6 +116,24 @@ def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
         return _qdense4(p, x)
     if "w_q8a" in p:
         xf = x.astype(jnp.float32)
+        in_dim = xf.shape[-1]
+        k = min(W8A8_OUTLIER_K, in_dim // 2)
+        y_out = 0.0
+        if k > 0:
+            # outlier decomposition (see W8A8_OUTLIER_K above): the K
+            # largest-|activation| columns go through a small bf16 matmul
+            # against dequantized weight rows; the int8 operand sees them
+            # as zeros, so the per-token scale is computed outlier-free
+            colmax = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
+            _, idx = jax.lax.top_k(colmax, k)
+            w_rows = (p["w_q8a"][idx].astype(jnp.float32)
+                      * p["w_scale"][None, :])          # (K, out)
+            x_out = jnp.take(xf, idx, axis=-1)           # (..., K)
+            y_out = jax.lax.dot_general(
+                x_out, w_rows, (((x.ndim - 1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            keep = jnp.ones((in_dim,), jnp.float32).at[idx].set(0.0)
+            xf = xf * keep
         sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
                          1e-6) / 127.0
         xq = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
@@ -110,7 +141,8 @@ def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
             xq, p["w_q8a"],
             (((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * sc * p["w_scale"]).astype(x.dtype)
+        y = (y.astype(jnp.float32) * sc * p["w_scale"] + y_out).astype(
+            x.dtype)
         if "b" in p:
             y = y + p["b"]
         return y

@@ -153,6 +153,109 @@ def test_qdense_w8a8_close_to_dense():
     np.testing.assert_array_equal(np.asarray(L.dense(qp, x)), got)
 
 
+def _outlier_xw(rs, in_dim=512, out_dim=64, rows=16, cols=(3, 77, 200),
+                scale=80.0):
+    """Random x/w with a few hidden columns scaled like real LLaMA
+    activation outliers (VERDICT r3 #3: inject 50-100x columns; plain
+    per-token W8A8 must demonstrably degrade, the LLM.int8-style
+    decomposition must not).  The outlier rows of w are scaled DOWN: the
+    pathology is scale poisoning — huge activations inflating the
+    per-token quant scale while contributing little signal, so every
+    OTHER channel loses its precision (outliers with big weights would
+    dominate y and quantize accurately, masking the failure)."""
+    w = rs.randn(in_dim, out_dim).astype(np.float32) * 0.1
+    x = rs.randn(rows, in_dim).astype(np.float32)
+    for c in cols:
+        x[:, c] *= scale
+        w[c, :] *= 0.02
+    return x, w
+
+
+def test_w8a8_outlier_decomposition_beats_plain(monkeypatch):
+    rs = np.random.RandomState(0)
+    x, w = _outlier_xw(rs)
+    qp = quant.quantize_dense_w8a8({"w": jnp.asarray(w)})
+    ref = x @ w
+
+    monkeypatch.setattr(quant, "W8A8_OUTLIER_K", 0)
+    plain = np.asarray(quant.qdense(qp, jnp.asarray(x)))
+    monkeypatch.setattr(quant, "W8A8_OUTLIER_K", 8)
+    aware = np.asarray(quant.qdense(qp, jnp.asarray(x)))
+
+    err_plain = np.abs(plain - ref).max() / np.abs(ref).max()
+    err_aware = np.abs(aware - ref).max() / np.abs(ref).max()
+    # outliers inflate the per-token scale ~25x: plain error explodes
+    # (~0.25 rel), the decomposition stays near the no-outlier W8A8 level
+    assert err_plain > 4 * err_aware, (err_plain, err_aware)
+    assert err_aware < 0.08, err_aware
+
+
+def test_w8a8_outlier_ranking_flip(monkeypatch):
+    """The failure mode the headline actually risks: plain W8A8 flips the
+    argmax even on CONFIDENT rows (top-2 margin > 0.25 std), the
+    decomposition never flips a confident row."""
+    rs = np.random.RandomState(1)
+    x, w = _outlier_xw(rs, rows=64)
+    qp = quant.quantize_dense_w8a8({"w": jnp.asarray(w)})
+    y = x @ w
+    ref_top = y.argmax(-1)
+    srt = np.sort(y, -1)
+    confident = (srt[:, -1] - srt[:, -2]) > 0.25 * y.std(-1)
+    assert confident.sum() >= 20      # construction sanity
+
+    monkeypatch.setattr(quant, "W8A8_OUTLIER_K", 0)
+    plain_top = np.asarray(quant.qdense(qp, jnp.asarray(x))).argmax(-1)
+    monkeypatch.setattr(quant, "W8A8_OUTLIER_K", 8)
+    aware_top = np.asarray(quant.qdense(qp, jnp.asarray(x))).argmax(-1)
+
+    plain_flips = plain_top != ref_top
+    aware_flips = aware_top != ref_top
+    assert (plain_flips & confident).any(), \
+        "injection too weak to flip a confident row for plain W8A8"
+    assert not (aware_flips & confident).any(), \
+        np.nonzero(aware_flips & confident)
+    assert aware_flips.sum() * 2 < plain_flips.sum(), \
+        (aware_flips.sum(), plain_flips.sum())
+
+
+def test_w8a8_outlier_noop_without_outliers(monkeypatch):
+    """On well-behaved activations the decomposition must not hurt: both
+    variants land within the usual W8A8 error band."""
+    k1 = jax.random.PRNGKey(0)
+    p = {"w": jax.random.normal(k1, (256, 32)) * 0.1}
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 256))
+    qp = quant.quantize_dense_w8a8(p)
+    ref = np.asarray(x @ p["w"])
+    monkeypatch.setattr(quant, "W8A8_OUTLIER_K", 8)
+    got = np.asarray(quant.qdense(qp, x))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.04, rel
+
+
+def test_w8a8_outlier_llama_forward(monkeypatch):
+    """End-to-end through a tiny LLaMA with an injected persistent outlier
+    channel in the residual stream (embedding column scaled 80x):
+    outlier-aware W8A8 tracks bf16 markedly better than plain."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    emb = np.array(params["embed_tokens"], np.float32)   # writable copy
+    emb[:, 5] *= 80.0          # persistent outlier channel (RMSNorm keeps
+    emb[:, 11] *= 50.0         # relative channel magnitude)
+    params["embed_tokens"] = jnp.asarray(emb)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids)).ravel()
+
+    def corr_for(k):
+        monkeypatch.setattr(quant, "W8A8_OUTLIER_K", k)
+        qparams = quant.quantize_llama(params, bits=8, w8a8=True)
+        h = np.asarray(llama.apply(qparams, cfg, input_ids=ids)).ravel()
+        return np.corrcoef(h_ref, h)[0, 1]
+
+    c_plain, c_aware = corr_for(0), corr_for(8)
+    assert c_aware > c_plain, (c_plain, c_aware)
+    assert c_aware > 0.99, c_aware
+
+
 def test_w8a8_e2e_predict():
     """W8A8 LLaMA (s8 x s8 matmuls) inside the full predict path keeps the
     similarity ranking on the synthetic batch."""
