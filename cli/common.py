@@ -96,6 +96,14 @@ def build_parser(name: str) -> argparse.ArgumentParser:
     p.add_argument("--eval_strategy", default="threshold",
                    choices=["argmax", "threshold", "iou_iop", "top_iou"])
     p.add_argument("--eval_threshold", type=float, default=0.5)
+    p.add_argument("--val_batch_size", type=int, default=8,
+                   help="images per device forward during validation "
+                        "(BASELINE configs[3]: batch 8/chip).  The "
+                        "reference loops val_batch_size=1 "
+                        "(training.py:384); per-image metrics here are "
+                        "bit-identical at any batch size, so the default "
+                        "is the throughput-optimal 8 (batch-1 also hits "
+                        "a pathological XLA compile on this stack)")
     p.add_argument("--auto_resume", action="store_true", default=True)
     # mesh
     p.add_argument("--multihost", action="store_true",

@@ -77,12 +77,23 @@ def main(argv=None):
         process_count=jax.process_count())
 
     def val_batches():
-        loader = BatchLoader(val_ds, val_collate, 1, len(val_ds),
+        import jax.numpy as jnp
+
+        # batched val forward (BASELINE configs[3]: batch 8/chip).  The
+        # loader tiles a short final batch back to full size (one static
+        # shape -> one XLA program); the tiled filler rows are exactly the
+        # trailing ones, marked invalid so metrics cover the dataset once.
+        bsz = max(args.val_batch_size, 1)
+        n_shard = len(range(len(val_ds))[jax.process_index()::
+                                         jax.process_count()])
+        steps = -(-n_shard // bsz)
+        loader = BatchLoader(val_ds, val_collate, bsz, steps,
                              process_index=jax.process_index(),
                              process_count=jax.process_count())
-        for batch, extras in loader.epoch(0):
-            import jax.numpy as jnp
-
+        for j, (batch, extras) in enumerate(loader.epoch(0)):
+            n_valid = min(bsz, max(n_shard - j * bsz, 0))
+            extras["row_valid"] = [True] * n_valid + \
+                [False] * (bsz - n_valid)
             yield ({k: jnp.asarray(v) for k, v in batch.items()}, extras)
 
     if args.eval_only:

@@ -118,29 +118,41 @@ class SegEvalAccumulator:
 def run_validation(eval_step: Callable, params, batches: Iterable,
                    strategy: str = "threshold", threshold: float = 0.5,
                    visualize_dir: Optional[str] = None) -> Dict[str, float]:
-    """batches: iterable of (device_batch, extras) with val batch size 1
-    (reference enforces val_batch_size=1, training.py:384)."""
+    """batches: iterable of (device_batch, extras), any batch size.
+
+    The reference enforces val_batch_size=1 (training.py:384) and loops
+    serially; here the device forward is batched (BASELINE configs[3]:
+    batch 8 per chip) while the per-IMAGE metric math below stays
+    bit-identical to the batch-1 path — each row is selected, composed
+    and scored independently.  A padded final batch marks its filler
+    rows False in extras["row_valid"] so dataset coverage is exact."""
     import jax.numpy as jnp
 
     selector = SELECTORS[strategy]
     acc = SegEvalAccumulator()
 
     def _finish(out, extras):
-        # pulling the arrays is the device sync point — by the time sample
-        # i is pulled here, sample i+1's forward is already enqueued below
-        sim = np.asarray(out["pred_similarity"])[0]
-        iou = np.asarray(out["pred_iou"])[0]
-        valid = np.asarray(out["prop_valid"])[0]
-        keep = selector(sim, iou, valid, threshold) \
-            if strategy != "argmax" else selector(sim, iou, valid)
-        segs_origin = extras["segs_origin"][0]
-        gt = extras["masks_list"][0][0]
-        pred = compose_mask(segs_origin, keep)
-        if pred.shape != gt.shape:
-            pred = _nearest_resize_2d(pred, gt.shape)
-        acc.add(pred, gt)
-        if visualize_dir:
-            _dump_visualization(visualize_dir, extras, pred, gt, sim, iou)
+        # pulling the arrays is the device sync point — by the time batch
+        # i is pulled here, batch i+1's forward is already enqueued below
+        sim_b = np.asarray(out["pred_similarity"])
+        iou_b = np.asarray(out["pred_iou"])
+        valid_b = np.asarray(out["prop_valid"])
+        row_valid = extras.get("row_valid")
+        for i in range(sim_b.shape[0]):
+            if row_valid is not None and not row_valid[i]:
+                continue
+            sim, iou, valid = sim_b[i], iou_b[i], valid_b[i]
+            keep = selector(sim, iou, valid, threshold) \
+                if strategy != "argmax" else selector(sim, iou, valid)
+            segs_origin = extras["segs_origin"][i]
+            gt = extras["masks_list"][i][0]
+            pred = compose_mask(segs_origin, keep)
+            if pred.shape != gt.shape:
+                pred = _nearest_resize_2d(pred, gt.shape)
+            acc.add(pred, gt)
+            if visualize_dir:
+                _dump_visualization(visualize_dir, extras, pred, gt,
+                                    sim, iou, index=i)
 
     # 1-deep pipeline: JAX dispatch is async, so enqueue the next sample's
     # forward before doing sample i's host work (mask compose + IoU) — the
@@ -157,7 +169,8 @@ def run_validation(eval_step: Callable, params, batches: Iterable,
 
 
 def _dump_visualization(out_dir: str, extras: Dict, pred: np.ndarray,
-                        gt: np.ndarray, sim: np.ndarray, iou: np.ndarray):
+                        gt: np.ndarray, sim: np.ndarray, iou: np.ndarray,
+                        index: int = 0):
     """Qualitative artifacts (reference training.py:778-845): image, pred
     overlay, gt overlay + a txt with the conversation and scores."""
     import os
@@ -165,7 +178,7 @@ def _dump_visualization(out_dir: str, extras: Dict, pred: np.ndarray,
     import cv2
 
     os.makedirs(out_dir, exist_ok=True)
-    image_path = extras["image_paths"][0]
+    image_path = extras["image_paths"][index]
     if image_path is None or not os.path.exists(image_path):
         return
     name = os.path.splitext(os.path.basename(image_path))[0]
@@ -182,7 +195,7 @@ def _dump_visualization(out_dir: str, extras: Dict, pred: np.ndarray,
                           + np.array([0, 0, 255]) * 0.5).astype(np.uint8)
         cv2.imwrite(os.path.join(out_dir, f"{name}_{tag}.png"), overlay)
     with open(os.path.join(out_dir, f"{name}.txt"), "w") as f:
-        convs = extras.get("conversations") or [[""]]
-        f.write(str(convs[0]) + "\n")
+        convs = extras.get("conversations") or [[""]] * (index + 1)
+        f.write(str(convs[index]) + "\n")
         f.write("pred_iou: " + " ".join(f"{v:.3f}" for v in iou) + "\n")
         f.write("similarity: " + " ".join(f"{v:.3f}" for v in sim) + "\n")

@@ -118,6 +118,55 @@ def test_run_validation_end_to_end():
     assert np.isfinite(out["giou"]) and np.isfinite(out["ciou"])
 
 
+def test_run_validation_batched_matches_batch1():
+    """VERDICT r3 #4: the batched eval loop (BASELINE configs[3], batch 8)
+    must produce bit-identical gIoU/cIoU to the serial batch-1 path,
+    including a padded final batch masked via extras['row_valid']."""
+    rng = np.random.RandomState(0)
+    K, N = 6, 10
+    samples = []
+    for i in range(N):
+        h, w = rng.randint(30, 60), rng.randint(30, 60)
+        samples.append({
+            "sim": rng.rand(K).astype(np.float32),
+            "iou": rng.rand(K).astype(np.float32),
+            "valid": rng.rand(K) < 0.8,
+            "segs": (rng.rand(h, w, K) < 0.4).astype(np.uint8),
+            "gt": (rng.rand(h, w) < 0.4).astype(np.float32),
+        })
+
+    # eval_step echoes per-row scores from the batch: trivially
+    # batch-size-invariant, isolating run_validation's own batching
+    def step(params, batch):
+        return {"pred_similarity": batch["sim"], "pred_iou": batch["iou"],
+                "prop_valid": batch["valid"]}
+
+    def batches_of(bsz):
+        for j in range(0, N, bsz):
+            chunk = samples[j:j + bsz]
+            n_valid = len(chunk)
+            while len(chunk) < bsz:           # pad tail like cli/train.py
+                chunk = chunk + [chunk[-1]]
+            batch = {k: np.stack([s[k] for s in chunk])
+                     for k in ("sim", "iou", "valid")}
+            extras = {"segs_origin": [s["segs"] for s in chunk],
+                      "masks_list": [[s["gt"]] for s in chunk],
+                      "image_paths": [None] * bsz,
+                      "conversations": [[""]] * bsz,
+                      "row_valid": [True] * n_valid
+                      + [False] * (bsz - n_valid)}
+            yield batch, extras
+
+    for strategy in ("threshold", "argmax", "iou_iop", "top_iou"):
+        r1 = eval_lib.run_validation(step, None, batches_of(1),
+                                     strategy=strategy)
+        r4 = eval_lib.run_validation(step, None, batches_of(4),
+                                     strategy=strategy)
+        r8 = eval_lib.run_validation(step, None, batches_of(8),
+                                     strategy=strategy)
+        assert r1 == r4 == r8, (strategy, r1, r4, r8)
+
+
 def test_loader_prefetch_and_shard():
     class DS:
         def __len__(self):
