@@ -122,6 +122,74 @@ def test_sharded_predict_matches_single_device():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_7b_layout_divides_production_mesh():
+    """VERDICT r3 #6: the tiny dryrun proves sharding *correctness*, but
+    only the 7B dims prove the production layout divides the mesh — vocab
+    32004, 32 heads/kv-heads, MLP 11008, hidden 4096 under (dp=2, fsdp=2,
+    tp=2).  jax.eval_shape instantiates the abstract 7B tree without 7B
+    memory; every sharded dim must divide its mesh axes exactly (GSPMD
+    would silently pad uneven shards — wasted ICI bandwidth at best,
+    surprise OOM on real multi-chip at worst)."""
+    cfg = C.llmseg_7b()
+    lora_cfg = C.LoraConfig(rank=8)
+    abstract = jax.eval_shape(
+        lambda k: llmseg.init(k, cfg, lora_cfg=lora_cfg),
+        jax.random.PRNGKey(0))
+    spec = M.param_spec(abstract)
+    axis_size = {"dp": 2, "fsdp": 2, "tp": 2}
+
+    flat_p = jax.tree_util.tree_flatten_with_path(
+        abstract, is_leaf=lambda x: hasattr(x, "shape"))[0]
+    flat_s = jax.tree_util.tree_flatten_with_path(
+        spec, is_leaf=lambda x: isinstance(x, P))[0]
+    assert len(flat_p) == len(flat_s)
+    checked = 0
+    for (path, leaf), (_, s) in zip(flat_p, flat_s):
+        if not isinstance(s, P):
+            continue
+        for dim, names in zip(leaf.shape, tuple(s)):
+            if names is None:
+                continue
+            names = names if isinstance(names, tuple) else (names,)
+            total = int(np.prod([axis_size[n] for n in names]))
+            assert dim % total == 0, (
+                f"{jax.tree_util.keystr(path)}: dim {dim} not divisible "
+                f"by {names} (x{total})")
+            checked += 1
+    # the LLaMA subtree must actually have been exercised
+    assert checked > 100, checked
+
+
+def test_7b_step_traces_on_production_mesh():
+    """Trace (eval_shape) the full 7B partitioned train step AND predict
+    under the dp=2 x fsdp=2 x tp=2 mesh: catches head-split/shape
+    arithmetic that only exists at 7B dims, with zero 7B memory."""
+    cfg = C.llmseg_7b()
+    tcfg = C.TrainConfig(grad_accum_steps=1, epochs=1, steps_per_epoch=2,
+                         warmup_steps=0, lr=1e-3)
+    lora_cfg = C.LoraConfig(rank=8)
+    mesh = M.make_mesh(C.MeshConfig(data=2, fsdp=2, tensor=2),
+                       devices=jax.devices()[:8])
+    abstract = jax.eval_shape(
+        lambda k: llmseg.init(k, cfg, lora_cfg=lora_cfg),
+        jax.random.PRNGKey(0))
+    with mesh:
+        trainable, skeleton = optim.partition(abstract)
+        tx = optim.make_trainable_optimizer(tcfg)
+        opt_state = jax.eval_shape(tx.init, trainable)
+        step = ts_lib.make_partitioned_train_step(
+            cfg, tx, lora_cfg=lora_cfg, remat=True, one_hot_embed=True)
+        batch = jax.eval_shape(
+            lambda: make_batch(cfg, num_images=4, rows_per_image=1,
+                               text_len=512))
+        out = jax.eval_shape(step, trainable, skeleton, opt_state, batch)
+        assert out[2]["loss"].shape == ()
+
+        pred = jax.eval_shape(
+            lambda p, b: llmseg.predict(p, cfg, b), abstract, batch)
+        assert pred["pred_similarity"].shape == (4, cfg.max_proposals)
+
+
 def test_one_hot_embed_matches_gather():
     """llama.embed one-hot formulation is numerically identical to the
     gather (same table, same ids)."""
