@@ -465,14 +465,37 @@ def strip_peft(sd: Dict[str, np.ndarray]):
     return base, lora
 
 
+def resolve_deepspeed_dir(path: str) -> str:
+    """Resolve the reference's on-disk checkpoint layout (training.py:
+    405-421,460-477 + README "Evaluation"): <log>/ckpt_model/latest names
+    a global_stepN tag; the weights live at
+    <log>/ckpt_model/global_stepN/mp_rank_00_model_states.pt.  Accepts the
+    ckpt_model dir, a global_stepN dir, or the .pt file itself."""
+    if os.path.isfile(path):
+        return path
+    latest = os.path.join(path, "latest")
+    if os.path.isfile(latest):
+        with open(latest) as f:
+            tag = f.read().strip()
+        path = os.path.join(path, tag)
+    cand = os.path.join(path, "mp_rank_00_model_states.pt")
+    if os.path.isfile(cand):
+        return cand
+    raise FileNotFoundError(f"no DeepSpeed checkpoint under {path!r} "
+                            "(expected mp_rank_00_model_states.pt, "
+                            "optionally via a `latest` pointer)")
+
+
 def import_llmseg_checkpoint(path: str, cfg, lora_cfg=None) -> Dict:
-    """DeepSpeed mp_rank_00_model_states.pt (reference checkpoint format,
-    training.py:460-477) -> full llmseg params tree.
+    """DeepSpeed checkpoint (reference format, training.py:460-477) ->
+    full llmseg params tree.  `path` may be the .pt file or a checkpoint
+    directory with a `latest` pointer (resolve_deepspeed_dir).
 
     Note: SAM weights inside the checkpoint (model.visual_model.*) belong to
     the legacy pixel-decoder path and are imported only when cfg.sam is set.
     """
-    return import_llmseg_state(load_torch_state(path), cfg, lora_cfg=lora_cfg)
+    return import_llmseg_state(load_torch_state(resolve_deepspeed_dir(path)),
+                               cfg, lora_cfg=lora_cfg)
 
 
 def import_llmseg_state(sd: Dict[str, np.ndarray], cfg, lora_cfg=None,

@@ -247,6 +247,90 @@ def test_training_gradients_match_reference(ref_and_ours):
                                    atol=2e-3, err_msg=f"grad of {ref_name}")
 
 
+@pytest.mark.slow
+def test_deepspeed_checkpoint_roundtrip(ref_and_ours, tmp_path):
+    """VERDICT r3 #5 — turnkey real-weight day: fabricate the reference's
+    ON-DISK checkpoint (training.py:405-421,460-477 — ckpt_model/latest ->
+    global_stepN/mp_rank_00_model_states.pt, {"module": sd} wrapper,
+    peft 'base_model.model.*' key names + lora_A/B tensors), import it
+    through the public path, and assert predict + eval run and match the
+    torch reference forward on the same weights.  When real checkpoints
+    arrive, this path needs zero new code."""
+    ref, tin, cfg, params, batch = ref_and_ours
+    lcfg = C.LoraConfig(rank=4)
+    rng = np.random.RandomState(3)
+
+    fab = {}
+    for k, v in ref.state_dict().items():
+        if k.startswith("model.vision_tower."):
+            continue   # reference checkpoints exclude the frozen towers
+        fab["base_model.model." + k] = v.clone()
+    # fresh-init LoRA: A random, B zero (peft default) so the folded base
+    # weights alone reproduce the reference forward exactly
+    d = cfg.llava.llm.hidden_size
+    for i in range(cfg.llava.llm.num_layers):
+        for name in ("q", "v"):
+            base = (f"base_model.model.model.layers.{i}."
+                    f"self_attn.{name}_proj")
+            fab[f"{base}.lora_A.default.weight"] = torch.from_numpy(
+                rng.randn(lcfg.rank, d).astype(np.float32) * 0.02)
+            fab[f"{base}.lora_B.default.weight"] = torch.zeros(
+                d, lcfg.rank)
+
+    step_dir = tmp_path / "ckpt_model" / "global_step500"
+    step_dir.mkdir(parents=True)
+    torch.save({"module": fab}, step_dir / "mp_rank_00_model_states.pt")
+    (tmp_path / "ckpt_model" / "latest").write_text("global_step500")
+
+    got = TI.import_llmseg_checkpoint(str(tmp_path / "ckpt_model"), cfg,
+                                      lora_cfg=lcfg)
+    assert "lora" in got and "q" in got["lora"]["layers"][0]
+
+    # the imported llm + selection head must equal the in-memory import
+    # the rest of this suite already proved against torch
+    def assert_tree_equal(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a) == set(b), (path, set(a) ^ set(b))
+            for k in a:
+                assert_tree_equal(a[k], b[k], f"{path}/{k}")
+        elif isinstance(a, (list, tuple)):
+            assert len(a) == len(b), path
+            for i, (x, y) in enumerate(zip(a, b)):
+                assert_tree_equal(x, y, f"{path}/{i}")
+        else:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                          err_msg=path)
+
+    assert_tree_equal(got["llava"]["llm"], params["llava"]["llm"])
+    assert_tree_equal(got["select"], params["select"])
+
+    # towers come from their own HF/pth checkpoints in the real flow
+    # (cli/common.py import_initial_params); graft the fixture's
+    got["llava"]["vision_tower"] = params["llava"]["vision_tower"]
+
+    pred_ref = llmseg.predict(params, cfg, batch)
+    pred_got = llmseg.predict(got, cfg, batch, lora_cfg=lcfg)
+    for k in ("pred_similarity", "pred_iou"):
+        np.testing.assert_allclose(np.asarray(pred_got[k]),
+                                   np.asarray(pred_ref[k]), atol=1e-5)
+
+    # ...and the eval loop consumes the outputs end to end
+    from llmseg_tpu.train import evaluate as eval_lib
+
+    segs_origin = (rng.rand(40, 50, cfg.max_proposals) < 0.4).astype(
+        np.uint8)
+    gt = (rng.rand(40, 50) < 0.4).astype(np.float32)
+    n_rows = int(np.asarray(pred_got["pred_similarity"]).shape[0])
+    extras = {"segs_origin": [segs_origin] * n_rows,
+              "masks_list": [[gt]] * n_rows,
+              "image_paths": [None] * n_rows,
+              "conversations": [[""]] * n_rows}
+    res = eval_lib.run_validation(
+        lambda p, b: llmseg.predict(p, cfg, b, lora_cfg=lcfg), got,
+        [(batch, extras)], strategy="threshold")
+    assert np.isfinite(res["giou"]) and np.isfinite(res["ciou"])
+
+
 def test_inference_similarity_matches_reference(ref_and_ours):
     ref, tin, cfg, params, batch = ref_and_ours
     # reference inference asserts images_clip.shape[0] == 1 -> single image
