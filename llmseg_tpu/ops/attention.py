@@ -232,6 +232,122 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, s_real,
 
 
 # ---------------------------------------------------------------------------
+# Pallas flash attention — fused single-pass forward (non-causal inference)
+# ---------------------------------------------------------------------------
+#
+# At DINOv2@896 (T=S=4097, D=64, 16 heads) the kernel above is ~45% VPU:
+# with a single k-block it still spends four elementwise passes over each
+# (block_q, S) logits tile — max, subtract, exp2, sum — while the QK matmul
+# runs at half MXU depth (D=64 of 128).  This variant deletes every VPU
+# pass except exp2:
+#
+#   * stability bias FUSED INTO THE MATMUL: q_ext = [q_prescaled, b_row],
+#     k_ext = [k, -1] makes the QK dot emit s - b_row directly, where
+#     b_row = max(|q_row| * max_j |k_j|, 1) is a Cauchy-Schwarz upper bound
+#     on the row max.  exp2(s - b) is mathematically the same softmax for
+#     ANY b >= rowmax; looseness only shifts p into [2^-gap, 1], and fp32
+#     keeps full RELATIVE precision down to 2^-126, so a gap far beyond
+#     anything real activations produce (|logits| <~ 50 in the log2
+#     domain) would be needed to underflow.  The extra contraction lane is
+#     free: the MXU is 128 deep and D=64 leaves half idle.
+#   * key-padding mask fused the same way: padded keys carry bias -1e4
+#     (>= 150 below any real logit), so their p is exactly 0.
+#   * softmax denominator ON THE MXU: v_ext = [v, 1] makes the PV dot
+#     emit [p @ v, sum(p)] in one pass; the epilogue divides.
+#
+# Used for the inference-only primal of non-causal single-k-block shapes
+# (DINOv2/CLIP towers); training forwards keep the exact-max kernel whose
+# lse feeds the backward kernels.
+
+
+def _fwd1_kernel(q_ref, k_ref, v_ref, o_ref, *, d_out, s_real):
+    q = q_ref[0]                                 # (Bq, D+1) pre-scaled+bias
+    s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(q))  # (Bq, S) = logits - b_row
+    p = jnp.exp2(s).astype(v_ref.dtype)          # the ONLY elementwise pass
+    acc = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32,
+                      precision=_prec(q))        # (Bq, D+1) = [o*l, l]
+    l = acc[:, d_out:d_out + 1]
+    # Underflow rescue: the Cauchy bound can sit arbitrarily far above the
+    # true row max for near-orthogonal big-norm q/k (p_max = 2^-gap; past
+    # gap ~126 the whole row flushes to zero).  Real post-LN activations
+    # never get close, so the predicate is ~always false and this branch
+    # compiles to one (Bq, 1) reduce; when it fires, the block recomputes
+    # with the exact per-row max — full correctness at any norm.  The
+    # threshold is 2^-40-ish, not the underflow line: rows kept on the
+    # fast path must have p_max far from subnormals or they shed mantissa
+    # bits (seen as 5e-5-level output error in the adversarial test).
+    ok = jnp.all(l > 1e-12)   # gap < ~40: p_max well inside normal f32
+
+    @pl.when(ok)
+    def _fast():
+        o_ref[0] = (acc[:, :d_out] / l).astype(o_ref.dtype)
+
+    @pl.when(jnp.logical_not(ok))
+    def _exact():
+        # recompute CLEAN logits without the fused bias lane: when the
+        # bound is pathologically loose, s = q.k - b suffers f32
+        # cancellation (absolute error ~ b * 2^-24), so exp2(s - max(s))
+        # would carry it; the bias-free dot is exact
+        sc = jax.lax.dot_general(
+            q[:, :d_out], k_ref[0][:, :d_out], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_prec(q))
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, sc.shape[-1]), 1)
+        sc = sc + jnp.where(col < s_real, 0.0, NEG_INF)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        p2 = jnp.exp2(sc - m).astype(v_ref.dtype)
+        acc2 = jax.lax.dot(p2, v_ref[0], preferred_element_type=jnp.float32,
+                           precision=_prec(q))
+        l2 = acc2[:, d_out:d_out + 1]
+        o_ref[0] = (acc2[:, :d_out]
+                    / jnp.maximum(l2, 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_fwd_1pass(q, k, v, *, block_q, s_real):
+    """q: (BH, Tp, D) padded AND pre-scaled by scale*log2(e); k, v:
+    (BH, Sp, D) padded.  Non-causal, whole key row per instance."""
+    BH, Tp, D = q.shape
+    Sp = k.shape[1]
+    # Cauchy-Schwarz row bound in the pre-scaled log2 domain; clamped >= 1
+    # so padded/zero q rows still drive the pad-key bias hard negative
+    f32 = jnp.float32
+    kmax = jnp.max(jnp.sqrt(jnp.sum(jnp.square(k.astype(f32)), -1)),
+                   axis=-1, keepdims=True)            # (BH, 1)
+    qnorm = jnp.sqrt(jnp.sum(jnp.square(q.astype(f32)), -1,
+                             keepdims=True))          # (BH, Tp, 1)
+    b_row = jnp.maximum(qnorm * kmax[:, :, None], 1.0)
+    q_ext = jnp.concatenate([q, b_row.astype(q.dtype)], -1)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1)
+    kbias = jnp.where(col < s_real, -1.0, -1e4).astype(k.dtype)
+    k_ext = jnp.concatenate([k, jnp.broadcast_to(kbias, (BH, Sp, 1))], -1)
+    v_ext = jnp.concatenate(
+        [v, jnp.ones((BH, Sp, 1), v.dtype)], -1)
+    De = D + 1
+    o = pl.pallas_call(
+        functools.partial(_fwd1_kernel, d_out=D, s_real=s_real),
+        grid=(BH, Tp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, De), lambda bh, qi: (bh, qi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, De), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, De), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, Tp, D), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Tp * Sp * De,
+            bytes_accessed=2 * BH * (Tp + 2 * Sp) * De * q.dtype.itemsize,
+            transcendentals=BH * Tp * Sp),
+        interpret=_interpret(),
+    )(q_ext, k_ext, v_ext)
+    return o
+
+
+# ---------------------------------------------------------------------------
 # Pallas flash attention — backward
 # ---------------------------------------------------------------------------
 
@@ -437,6 +553,11 @@ def _flash_bwd(res, g, *, causal, block_q, block_k, s_real):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_attention(q, k, v, causal, block_q, block_k, s_real):
+    # inference primal only (the grad path traces _flash_attention_fwd
+    # instead): non-causal single-k-block shapes take the fused one-pass
+    # kernel — exp2 is its only VPU pass over the logits tile
+    if not causal and k.shape[1] == block_k:
+        return _flash_fwd_1pass(q, k, v, block_q=block_q, s_real=s_real)
     o, _ = _flash_fwd(q, k, v, causal=causal, block_q=block_q,
                       block_k=block_k, s_real=s_real, with_lse=False)
     return o

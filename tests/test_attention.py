@@ -70,3 +70,43 @@ def test_flash_key_padding_masked():
     out_ref = A.attention_xla(q, k, v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_fused_1pass_adversarial_norms():
+    """The fused single-pass kernel bounds the row max by |q|*max|k|
+    (Cauchy-Schwarz).  Stress the bound's looseness: near-orthogonal
+    big-norm q/k (worst case for bound-minus-max gap) plus ragged key
+    padding must still match XLA, and the DINO/CLIP-like shape must route
+    through the one-pass path (single k-block)."""
+    rng = np.random.RandomState(0)
+    B, T, S, H, D = 1, 200, 300, 2, 64
+    # orthogonal-ish construction: q lives in dims [0:32), k in [32:64)
+    # with a tiny shared component so logits are small but nonzero while
+    # norms are huge
+    q = np.zeros((B, T, H, D), np.float32)
+    k = np.zeros((B, S, H, D), np.float32)
+    q[..., :32] = rng.randn(B, T, H, 32) * 30.0
+    k[..., 32:] = rng.randn(B, S, H, 32) * 30.0
+    q[..., 32] = rng.randn(B, T, H) * 0.3     # small overlap channel
+    v = rng.randn(B, S, H, D).astype(np.float32)
+    q, k, v = jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    out = A.flash_attention(q, k, v)          # S<=4608 -> single k-block
+    out_ref = A.attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_fused_1pass_matches_exact_max_kernel():
+    """One-pass (inference primal) vs the exact-max kernel (grad-path
+    forward) on identical inputs: same softmax, different stabilizer."""
+    q, k, v = _make(T=384, S=384, D=64, dtype=jnp.bfloat16, seed=3)
+    out1 = A.flash_attention(q, k, v)                       # 1-pass route
+    # force the multi-block (exact-max) kernel by shrinking block_k
+    q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
+    out_ref = A.attention_xla(q32, k32, v32)
+    np.testing.assert_allclose(np.asarray(out1, np.float32), out_ref,
+                               atol=2e-2, rtol=2e-2)
+    # and its gradient path (exact-max fwd + custom bwd) still works
+    g = jax.grad(lambda a: jnp.sum(jnp.sin(
+        A.flash_attention(a, k32, v32, block_q=128, block_k=128))))(q32)
+    assert np.isfinite(np.asarray(g)).all()
