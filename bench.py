@@ -326,7 +326,7 @@ def run_valloop(config_name: str, val_batch: int = 8, n_images: int = 48,
     from llmseg_tpu.train.train_step import make_eval_step
 
     cfg, dtype = _setup(config_name)
-    TEXT_LEN = 512
+    TEXT_LEN = min(512, cfg.max_seq_len - cfg.llava.num_image_tokens + 1)
     params = _init_params(cfg, dtype)
     if quant_bits:
         from llmseg_tpu.ops import quant

@@ -126,8 +126,6 @@ def run_validation(eval_step: Callable, params, batches: Iterable,
     bit-identical to the batch-1 path — each row is selected, composed
     and scored independently.  A padded final batch marks its filler
     rows False in extras["row_valid"] so dataset coverage is exact."""
-    import jax.numpy as jnp
-
     selector = SELECTORS[strategy]
     acc = SegEvalAccumulator()
 

@@ -233,6 +233,13 @@ def test_orchestrate_w8a8_gate_still_applies(tmp_path, monkeypatch,
     assert json.loads(out[-1])["value"] == 9.0   # inexact probe: no promo
 
 
+def test_run_valloop_tiny_cpu():
+    """The --valloop lane end-to-end at tiny scale on CPU: compiles the
+    eval step, runs the batched validation loop, returns a finite rate."""
+    ips = bench.run_valloop("llmseg_tiny", val_batch=2, n_images=4)
+    assert ips > 0
+
+
 def test_pick_headline_gates_and_promotes():
     bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
     int8 = bench._result_line("llmseg_7b", 4, 9.33, 0.69, ",int8")
