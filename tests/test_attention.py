@@ -96,6 +96,24 @@ def test_fused_1pass_adversarial_norms():
                                atol=5e-5, rtol=5e-5)
 
 
+def test_fused_1pass_routing(monkeypatch):
+    """DINO (4097) and CLIP (257) non-causal shapes must take the fused
+    one-pass kernel; causal LLaMA must not."""
+    calls = []
+    orig = A._flash_fwd_1pass
+
+    def spy(*a, **k):
+        calls.append(k.get("block_q"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(A, "_flash_fwd_1pass", spy)
+    q, k, v = _make(T=300, S=300, D=64, dtype=jnp.bfloat16)
+    A.flash_attention(q, k, v)
+    assert len(calls) == 1
+    A.flash_attention(q, k, v, causal=True)
+    assert len(calls) == 1     # causal keeps the exact-max kernel
+
+
 def test_fused_1pass_matches_exact_max_kernel():
     """One-pass (inference primal) vs the exact-max kernel (grad-path
     forward) on identical inputs: same softmax, different stabilizer."""
