@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -258,6 +259,18 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, s_real,
 # Used for the inference-only primal of non-causal single-k-block shapes
 # (DINOv2/CLIP towers); training forwards keep the exact-max kernel whose
 # lse feeds the backward kernels.
+#
+# OPT-IN (LLMSEG_ATTN_ONEPASS=1), measured dead end on v5e 2026-08-18:
+# slope-timed 1.001 vs 1.009 ms/layer at (1, 4097, 16, 64) — the deleted
+# max/subtract/sum passes were nearly free against the exp2-transcendental
+# floor that both kernels share.  And the two pl.when branches' (block_q, S)
+# logits tiles coexist on the Mosaic stack: at grid BH=64 (batch 4) the
+# kernel exceeded the 16 MB scoped-vmem limit by 188 KB and failed to
+# compile (HTTP 500 from the remote compile helper) while BH=16 fit.  A
+# +0.8% kernel that cannot compile the flagship batch point stays off the
+# default route; kept for the correctness machinery (Cauchy-bound fusion,
+# underflow rescue) and exercised by tests.
+ONEPASS = os.environ.get("LLMSEG_ATTN_ONEPASS", "0") == "1"
 
 
 def _fwd1_kernel(q_ref, k_ref, v_ref, o_ref, *, d_out, s_real):
@@ -554,9 +567,10 @@ def _flash_bwd(res, g, *, causal, block_q, block_k, s_real):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_attention(q, k, v, causal, block_q, block_k, s_real):
     # inference primal only (the grad path traces _flash_attention_fwd
-    # instead): non-causal single-k-block shapes take the fused one-pass
-    # kernel — exp2 is its only VPU pass over the logits tile
-    if not causal and k.shape[1] == block_k:
+    # instead): with LLMSEG_ATTN_ONEPASS=1, non-causal single-k-block shapes
+    # take the fused one-pass kernel — exp2 is its only VPU pass over the
+    # logits tile (opt-in; see the dead-end note above)
+    if ONEPASS and not causal and k.shape[1] == block_k:
         return _flash_fwd_1pass(q, k, v, block_q=block_q, s_real=s_real)
     o, _ = _flash_fwd(q, k, v, causal=causal, block_q=block_q,
                       block_k=block_k, s_real=s_real, with_lse=False)
