@@ -100,6 +100,19 @@ def _dense_lora(p, lp, x, scaling: float):
     return y
 
 
+def _shared_qdense(ps, x):
+    """One activation quantization shared by several W8A8 matmuls on the
+    same input (exactly equivalent to per-matmul quantization — the quant
+    depends only on x).  Returns None when the leaves are not W8A8, so the
+    caller falls back to the per-matmul L.dense path."""
+    if not all("w_q8a" in p for p in ps):
+        return None
+    from llmseg_tpu.ops import quant
+
+    qa = quant.quantize_activation(x)
+    return [quant.qdense_act(p, qa, x.dtype) for p in ps]
+
+
 # ---------------------------------------------------------------------------
 # Forward
 # ---------------------------------------------------------------------------
@@ -126,9 +139,20 @@ def embed(params: dict, input_ids: jnp.ndarray,
 def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
                 positions=None):
     B, T, _ = x.shape
-    q = _dense_lora(p["q"], None if lp is None else lp.get("q"), x, scaling)
-    k = L.dense(p["k"], x)
-    v = _dense_lora(p["v"], None if lp is None else lp.get("v"), x, scaling)
+    shared = _shared_qdense((p["q"], p["k"], p["v"]), x)
+    if shared is not None:
+        q, k, v = shared
+        if lp is not None:
+            if "q" in lp:
+                q = q + ((x @ lp["q"]["a"]) @ lp["q"]["b"]) * scaling
+            if "v" in lp:
+                v = v + ((x @ lp["v"]["a"]) @ lp["v"]["b"]) * scaling
+    else:
+        q = _dense_lora(p["q"], None if lp is None else lp.get("q"), x,
+                        scaling)
+        k = L.dense(p["k"], x)
+        v = _dense_lora(p["v"], None if lp is None else lp.get("v"), x,
+                        scaling)
     q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -143,9 +167,12 @@ def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
 
 
 def _mlp_block(p, x):
-    return L.dense(p["mlp"]["down"],
-                   jax.nn.silu(L.dense(p["mlp"]["gate"], x))
-                   * L.dense(p["mlp"]["up"], x))
+    shared = _shared_qdense((p["mlp"]["gate"], p["mlp"]["up"]), x)
+    if shared is not None:
+        gate, up = shared
+    else:
+        gate, up = L.dense(p["mlp"]["gate"], x), L.dense(p["mlp"]["up"], x)
+    return L.dense(p["mlp"]["down"], jax.nn.silu(gate) * up)
 
 
 def _layer(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float):

@@ -105,6 +105,58 @@ def _qdense4(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def quantize_activation(x: jnp.ndarray, k: int | None = None) -> Dict:
+    """Per-token activation quantization, computed ONCE and shared by every
+    w8a8 matmul that consumes the same input (q/k/v share their normed
+    hidden state; gate/up share theirs — sharing drops the per-layer
+    activation-quant passes from 7 to 4).  Returns
+    {'xq' int8 outlier-zeroed, 'sc' per-token scale, 'x_out'/'idx' when the
+    outlier decomposition is on}.  All fields depend only on x, so sharing
+    is exactly equivalent to recomputing per matmul."""
+    xf = x.astype(jnp.float32)
+    in_dim = xf.shape[-1]
+    k = min(W8A8_OUTLIER_K if k is None else k, in_dim // 2)
+    qa: Dict = {}
+    if k > 0:
+        # outlier decomposition (see W8A8_OUTLIER_K above): the K
+        # largest-|activation| columns go through a small bf16 matmul
+        # against dequantized weight rows; the int8 operand sees them
+        # as zeros, so the per-token scale is computed outlier-free
+        colmax = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
+        _, idx = jax.lax.top_k(colmax, k)
+        qa["idx"] = idx
+        qa["x_out"] = jnp.take(xf, idx, axis=-1)         # (..., K)
+        keep = jnp.ones((in_dim,), jnp.float32).at[idx].set(0.0)
+        xf = xf * keep
+    sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-6) / 127.0
+    qa["sc"] = sc
+    qa["xq"] = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
+    return qa
+
+
+def qdense_act(p: Dict, qa: Dict, out_dtype) -> jnp.ndarray:
+    """s8 x s8 -> s32 MXU dot against a pre-quantized activation (see
+    quantize_activation), rescaled by the outer product of activation and
+    weight scales, plus the bf16 outlier side matmul."""
+    xq = qa["xq"]
+    y = jax.lax.dot_general(
+        xq, p["w_q8a"],
+        (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = y.astype(jnp.float32) * qa["sc"] * p["w_scale"]
+    if "idx" in qa:
+        w_rows = (p["w_q8a"][qa["idx"]].astype(jnp.float32)
+                  * p["w_scale"][None, :])               # (K, out)
+        y = y + jax.lax.dot_general(
+            qa["x_out"], w_rows, (((xq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    y = y.astype(out_dtype)
+    if "b" in p:
+        y = y + p["b"]
+    return y
+
+
 def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     """x @ dequant(w).  'w_q' (weight-only int8): cast w to x.dtype in the
     matmul prologue, scale in the epilogue — bf16-rate compute, half the
@@ -115,37 +167,7 @@ def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q4" in p:
         return _qdense4(p, x)
     if "w_q8a" in p:
-        xf = x.astype(jnp.float32)
-        in_dim = xf.shape[-1]
-        k = min(W8A8_OUTLIER_K, in_dim // 2)
-        y_out = 0.0
-        if k > 0:
-            # outlier decomposition (see W8A8_OUTLIER_K above): the K
-            # largest-|activation| columns go through a small bf16 matmul
-            # against dequantized weight rows; the int8 operand sees them
-            # as zeros, so the per-token scale is computed outlier-free
-            colmax = jnp.max(jnp.abs(xf), axis=tuple(range(xf.ndim - 1)))
-            _, idx = jax.lax.top_k(colmax, k)
-            w_rows = (p["w_q8a"][idx].astype(jnp.float32)
-                      * p["w_scale"][None, :])          # (K, out)
-            x_out = jnp.take(xf, idx, axis=-1)           # (..., K)
-            y_out = jax.lax.dot_general(
-                x_out, w_rows, (((x.ndim - 1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            keep = jnp.ones((in_dim,), jnp.float32).at[idx].set(0.0)
-            xf = xf * keep
-        sc = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                         1e-6) / 127.0
-        xq = jnp.clip(jnp.round(xf / sc), -127, 127).astype(jnp.int8)
-        y = jax.lax.dot_general(
-            xq, p["w_q8a"],
-            (((x.ndim - 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)
-        y = (y.astype(jnp.float32) * sc * p["w_scale"] + y_out).astype(
-            x.dtype)
-        if "b" in p:
-            y = y + p["b"]
-        return y
+        return qdense_act(p, quantize_activation(x), x.dtype)
     y = jax.lax.dot_general(
         x, p["w_q"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),

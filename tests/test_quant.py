@@ -274,3 +274,39 @@ def test_w8a8_e2e_predict():
     a = np.asarray(ref["pred_similarity"]).ravel()
     b = np.asarray(got["pred_similarity"]).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_shared_activation_quant_matches_per_matmul():
+    """The q/k/v (and gate/up) shared-activation-quant path must be exactly
+    the per-matmul qdense: quantize_activation depends only on x, so one
+    shared quant is bitwise-equivalent math reordered."""
+    key = jax.random.PRNGKey(3)
+    x = jax.random.normal(key, (2, 7, 64), jnp.float32)
+    ps = [quant.quantize_dense_w8a8(
+        {"w": jax.random.normal(jax.random.fold_in(key, i), (64, 48))})
+        for i in range(3)]
+    qa = quant.quantize_activation(x)
+    shared = [np.asarray(quant.qdense_act(p, qa, x.dtype)) for p in ps]
+    per = [np.asarray(quant.qdense(p, x)) for p in ps]
+    for s, q in zip(shared, per):
+        np.testing.assert_array_equal(s, q)
+
+
+def test_llama_w8a8_shared_quant_forward_unchanged():
+    """llama.apply routes q/k/v and gate/up through _shared_qdense when the
+    leaves are W8A8; the result must equal the per-matmul dense path."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    qparams = quant.quantize_llama(params, bits=8, w8a8=True)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_routed = np.asarray(llama.apply(qparams, cfg, input_ids=ids))
+
+    # per-matmul reference: bypass the shared route by calling qdense leafwise
+    from llmseg_tpu.models import llama as llama_mod
+    orig = llama_mod._shared_qdense
+    try:
+        llama_mod._shared_qdense = lambda ps, x: None
+        h_leafwise = np.asarray(llama.apply(qparams, cfg, input_ids=ids))
+    finally:
+        llama_mod._shared_qdense = orig
+    np.testing.assert_allclose(h_routed, h_leafwise, rtol=0, atol=1e-5)
