@@ -52,6 +52,7 @@ import time
 
 V5E_BF16_PEAK = 197e12   # TPU v5e: 197 TFLOP/s bf16
 RETRY_SLEEP_S = 110      # wedged-backend recovery time is ~2 min
+COLD_PROBE_S = 420       # cold backend init through the tunnel: 3-4 min
 TOWERS = ("dino", "clip", "llama", "select_head")
 LAST_GOOD_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
@@ -562,7 +563,13 @@ def run_probe():
 def _probe_backend(timeout=150):
     """True iff the backend answers a 128x128 matmul within `timeout`.
     The outage signature (VERDICT r3 weak #1) — init UNAVAILABLE or a
-    silent init hang — must fail FAST here, never inside a 40-min lane."""
+    silent init hang — must fail FAST here, never inside a 40-min lane.
+
+    Timeout calibration (measured 2026-08-19): a COLD backend legitimately
+    takes 3-4 min to init through the tunnel; once warm, init is ~20 s.
+    The first probe of a run must get a cold-init budget (see COLD_PROBE_S)
+    — killing the probe mid-init is itself a wedge trigger — while later
+    probes keep the short budget, because by then a hang means trouble."""
     import subprocess
 
     t0 = time.monotonic()
@@ -714,8 +721,10 @@ def _orchestrate():
         return h
 
     # (b) outage fail-fast: a backend that cannot answer a 128x128 matmul
-    # within 150 s gets ONE short retry, never a 40-minute lane
-    if not _probe_backend():
+    # gets ONE short retry, never a 40-minute lane.  The first probe gets
+    # the cold-init budget (a true outage still fails fast: the init
+    # UNAVAILABLE signature surfaces in ~1 min, long before the cap)
+    if not _probe_backend(timeout=COLD_PROBE_S):
         log(f"bench: backend down; one retry in {RETRY_SLEEP_S}s")
         time.sleep(RETRY_SLEEP_S)
         if not _probe_backend():
@@ -741,6 +750,19 @@ def _orchestrate():
                 break
     emit()
 
+    # W8A8 lane (s8 x s8 MXU matmuls, double rate) runs BEFORE int8: it is
+    # the best lane (12+ img/s vs ~9.3), so on a short driver window it
+    # must get its shot first.  Captured, NOT streamed — its line is
+    # promoted only when it wins AND its ranking probe was exact
+    # (top1=1.000 in the metric tag)
+    if time_left() > 1200 and _probe_backend():
+        lanes["w8a8"] = _subprocess(
+            ["--config", flagship, "--quant", "8", "--w8a8"],
+            timeout=min(3600, time_left()))
+        if lanes["w8a8"]:
+            log(f"bench: RESULT {flagship} w8a8: {lanes['w8a8']}")
+        emit()
+
     # int8 weight-only sweep (reference load_8bit; batch-8 capacity
     # point) — competes freely for the headline in _pick_headline
     if time_left() > 1200 and _probe_backend():
@@ -749,17 +771,6 @@ def _orchestrate():
                                     stream=True)
         if lanes["int8"]:
             log(f"bench: RESULT {flagship} int8: {lanes['int8']}")
-        emit()
-
-    # W8A8 lane (s8 x s8 MXU matmuls, double rate): captured, NOT
-    # streamed — its line is promoted only when it wins AND its ranking
-    # probe was exact (top1=1.000 in the metric tag)
-    if time_left() > 1200 and _probe_backend():
-        lanes["w8a8"] = _subprocess(
-            ["--config", flagship, "--quant", "8", "--w8a8"],
-            timeout=min(3600, time_left()))
-        if lanes["w8a8"]:
-            log(f"bench: RESULT {flagship} w8a8: {lanes['w8a8']}")
         emit()
 
     # reproducible tower breakdown, each in its own process (stderr only)
