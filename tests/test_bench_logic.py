@@ -233,6 +233,46 @@ def test_orchestrate_w8a8_gate_still_applies(tmp_path, monkeypatch,
     assert json.loads(out[-1])["value"] == 9.0   # inexact probe: no promo
 
 
+def test_orchestrate_first_probe_gets_cold_budget(tmp_path, monkeypatch,
+                                                  capsys):
+    """A cold backend init takes 3-4 min through the tunnel (227 s measured
+    2026-08-19): the FIRST probe must carry the cold-init budget, later
+    probes the short default — else a healthy cold start reads as an
+    outage and every lane is skipped."""
+    budgets = []
+
+    def probe(timeout=150):
+        budgets.append(timeout)
+        return True
+
+    bf16 = bench._result_line("llmseg_7b", 4, 9.0, 0.66)
+    _orchestrate_stubbed(monkeypatch, tmp_path, lambda *a, **k: bf16, probe)
+    assert budgets[0] >= bench.COLD_PROBE_S
+    assert all(b < bench.COLD_PROBE_S for b in budgets[1:])
+    assert len(budgets) > 1     # later lanes still re-probe
+
+
+def test_orchestrate_w8a8_lane_runs_before_int8(tmp_path, monkeypatch,
+                                                capsys):
+    """The W8A8 lane is the best lane (12+ img/s): on a short driver
+    window it must get its measurement before the int8 capacity sweep."""
+    order = []
+
+    def sub(argv, timeout=None, stream=False):
+        if "--w8a8" in argv:
+            order.append("w8a8")
+        elif "--quant" in argv:
+            order.append("int8")
+        elif "--tower" in argv:
+            order.append("tower")
+        else:
+            order.append("bf16")
+        return None
+
+    _orchestrate_stubbed(monkeypatch, tmp_path, sub, lambda **k: True)
+    assert order.index("w8a8") < order.index("int8")
+
+
 def test_run_valloop_tiny_cpu():
     """The --valloop lane end-to-end at tiny scale on CPU: compiles the
     eval step, runs the batched validation loop, returns a finite rate."""
