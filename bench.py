@@ -236,9 +236,25 @@ def run(config_name: str, quant_bits: int | None = None,
         probe_sim = _with_retry("bf16 probe", _probe)
         from llmseg_tpu.ops import quant
 
+        smooth_stats = None
+        if w8a8:
+            # SmoothQuant calibration on the probe batch (bf16 weights
+            # still live): per-site activation colmaxes fold the outlier
+            # columns into the weights for free at runtime — the
+            # replacement for the dynamic LLM.int8-style decomposition,
+            # which measured +37% on the quantized matmul path
+            t0 = time.perf_counter()
+            smooth_stats = _with_retry(
+                "w8a8 calibration",
+                lambda: llmseg.calibrate_quant_stats(params, cfg, probe))
+            log(f"bench: w8a8 smoothquant calibration "
+                f"{time.perf_counter() - t0:.1f}s"
+                + ("" if smooth_stats is not None
+                   else " FAILED — quantizing unsmoothed"))
         t0 = time.perf_counter()
         quant.quantize_llama_inplace(params["llava"]["llm"],
-                                     bits=quant_bits, w8a8=w8a8)
+                                     bits=quant_bits, w8a8=w8a8,
+                                     smooth_stats=smooth_stats)
         jax.block_until_ready(params["llava"]["llm"])
         log(f"bench: int{quant_bits}{'-w8a8' if w8a8 else ''} "
             f"quantization {time.perf_counter() - t0:.1f}s")
@@ -314,6 +330,27 @@ def run(config_name: str, quant_bits: int | None = None,
     return ips, mfu, best_bsz, tag
 
 
+def _maybe_calibrate(params, cfg, w8a8, dtype, text_len):
+    """SmoothQuant calibration stats from one synthetic batch (bf16 weights
+    must still be live).  None (and a log line) on failure — the caller
+    quantizes unsmoothed."""
+    if not w8a8:
+        return None
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    calib = make_batch(cfg, num_images=1, rows_per_image=1,
+                       text_len=text_len, dtype=dtype)
+    t0 = time.perf_counter()
+    st = _with_retry(
+        "w8a8 calibration",
+        lambda: llmseg.calibrate_quant_stats(params, cfg, calib))
+    log(f"bench: w8a8 smoothquant calibration "
+        f"{time.perf_counter() - t0:.1f}s"
+        + ("" if st is not None else " FAILED — quantizing unsmoothed"))
+    return st
+
+
 def run_valloop(config_name: str, val_batch: int = 8, n_images: int = 48,
                 quant_bits=None, w8a8=False):
     """Time the BATCHED validation loop (BASELINE configs[3]: 'ReasonSeg
@@ -336,8 +373,10 @@ def run_valloop(config_name: str, val_batch: int = 8, n_images: int = 48,
     if quant_bits:
         from llmseg_tpu.ops import quant
 
-        quant.quantize_llama_inplace(params["llava"]["llm"],
-                                     bits=quant_bits, w8a8=w8a8)
+        quant.quantize_llama_inplace(
+            params["llava"]["llm"], bits=quant_bits, w8a8=w8a8,
+            smooth_stats=_maybe_calibrate(params, cfg, w8a8, dtype,
+                                          TEXT_LEN))
         jax.block_until_ready(params["llava"]["llm"])
     step = jax.jit(make_eval_step(cfg))
     rng = np.random.RandomState(0)
@@ -386,8 +425,10 @@ def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
     if quant_bits:
         from llmseg_tpu.ops import quant
 
-        quant.quantize_llama_inplace(params["llava"]["llm"],
-                                     bits=quant_bits, w8a8=w8a8)
+        quant.quantize_llama_inplace(
+            params["llava"]["llm"], bits=quant_bits, w8a8=w8a8,
+            smooth_stats=_maybe_calibrate(params, cfg, w8a8, dtype,
+                                          TEXT_LEN))
         jax.block_until_ready(params["llava"]["llm"])
     batch = make_batch(cfg, num_images=1, rows_per_image=1,
                        text_len=TEXT_LEN, dtype=dtype)

@@ -51,20 +51,6 @@ def main(argv=None):
     trainer = Trainer(cfg, lora_cfg=lora_cfg, params=params, writer=writer)
     if args.auto_resume:
         trainer.maybe_resume()
-    if args.load_8bit or args.load_4bit:
-        # inference-time weight-only quantization AFTER any restore
-        # (reference load_8bit/load_4bit, model/llava/model/builder.py:
-        # 40-58).  In-place mutation of the frozen skeleton so the bf16
-        # and int trees never coexist on a 16 GB chip.
-        from llmseg_tpu.ops import quant
-
-        if args.w8a8 and args.load_4bit:
-            raise SystemExit("--w8a8 is an int8 mode; combine it with "
-                             "--load_8bit, not --load_4bit")
-        quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
-                                     bits=4 if args.load_4bit else 8,
-                                     w8a8=args.w8a8)
-
     import jax
 
     train_collate = common.build_collate(args, cfg, tokenizer,
@@ -95,6 +81,33 @@ def main(argv=None):
             extras["row_valid"] = [True] * n_valid + \
                 [False] * (bsz - n_valid)
             yield ({k: jnp.asarray(v) for k, v in batch.items()}, extras)
+
+    if args.load_8bit or args.load_4bit:
+        # inference-time weight-only quantization AFTER any restore
+        # (reference load_8bit/load_4bit, model/llava/model/builder.py:
+        # 40-58).  In-place mutation of the frozen skeleton so the bf16
+        # and int trees never coexist on a 16 GB chip.  For --w8a8, a
+        # SmoothQuant calibration forward on the first val batch runs
+        # FIRST (bf16 weights must still be live) so activation-outlier
+        # columns fold into the weights at zero runtime cost.
+        from llmseg_tpu.ops import quant
+
+        if args.w8a8 and args.load_4bit:
+            raise SystemExit("--w8a8 is an int8 mode; combine it with "
+                             "--load_8bit, not --load_4bit")
+        smooth_stats = None
+        if args.w8a8 and val_ds is not None:
+            from llmseg_tpu.models import llmseg
+
+            first = next(iter(val_batches()), None)
+            if first is not None:
+                smooth_stats = llmseg.calibrate_quant_stats(
+                    trainer.params, cfg.model, first[0],
+                    lora_cfg=lora_cfg)
+        quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
+                                     bits=4 if args.load_4bit else 8,
+                                     w8a8=args.w8a8,
+                                     smooth_stats=smooth_stats)
 
     if args.eval_only:
         vis = os.path.join(cfg.train.log_dir, "eval_vis") \

@@ -103,14 +103,23 @@ def _dense_lora(p, lp, x, scaling: float):
 def _shared_qdense(ps, x):
     """One activation quantization shared by several W8A8 matmuls on the
     same input (exactly equivalent to per-matmul quantization — the quant
-    depends only on x).  Returns None when the leaves are not W8A8, so the
-    caller falls back to the per-matmul L.dense path."""
+    depends only on x and the group's shared SmoothQuant vector, which
+    llama_smooth_map computes once per shared-input group).  Returns None
+    when the leaves are not W8A8, so the caller falls back to the
+    per-matmul L.dense path."""
     if not all("w_q8a" in p for p in ps):
         return None
     from llmseg_tpu.ops import quant
 
-    qa = quant.quantize_activation(x)
+    qa = quant.quantize_activation(x, a_inv=ps[0].get("a_inv"))
     return [quant.qdense_act(p, qa, x.dtype) for p in ps]
+
+
+def _colmax(x: jnp.ndarray) -> jnp.ndarray:
+    """Per-input-channel |activation| maximum over every token — the
+    SmoothQuant calibration statistic (see ops/quant.llama_smooth_map)."""
+    return jnp.max(jnp.abs(x.astype(jnp.float32)),
+                   axis=tuple(range(x.ndim - 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -137,8 +146,10 @@ def embed(params: dict, input_ids: jnp.ndarray,
 
 
 def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
-                positions=None):
+                positions=None, stats=None):
     B, T, _ = x.shape
+    if stats is not None:
+        stats["attn_in"] = _colmax(x)
     shared = _shared_qdense((p["q"], p["k"], p["v"]), x)
     if shared is not None:
         q, k, v = shared
@@ -162,24 +173,33 @@ def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
         rep = cfg.num_heads // cfg.num_kv_heads
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
-    o = attention(q, k, v, causal=True)
-    return L.dense(p["o"], o.reshape(B, T, -1))
+    o = attention(q, k, v, causal=True).reshape(B, T, -1)
+    if stats is not None:
+        stats["o_in"] = _colmax(o)
+    return L.dense(p["o"], o)
 
 
-def _mlp_block(p, x):
+def _mlp_block(p, x, stats=None):
+    if stats is not None:
+        stats["mlp_in"] = _colmax(x)
     shared = _shared_qdense((p["mlp"]["gate"], p["mlp"]["up"]), x)
     if shared is not None:
         gate, up = shared
     else:
         gate, up = L.dense(p["mlp"]["gate"], x), L.dense(p["mlp"]["up"], x)
-    return L.dense(p["mlp"]["down"], jax.nn.silu(gate) * up)
+    h = jax.nn.silu(gate) * up
+    if stats is not None:
+        stats["down_in"] = _colmax(h)
+    return L.dense(p["mlp"]["down"], h)
 
 
-def _layer(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float):
+def _layer(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
+           stats=None):
     x = x + _attn_block(p["attn"], lp, L.rmsnorm(p["input_norm"], x,
                                                  cfg.rms_norm_eps),
-                        cos, sin, cfg, scaling)
-    return x + _mlp_block(p, L.rmsnorm(p["post_norm"], x, cfg.rms_norm_eps))
+                        cos, sin, cfg, scaling, stats=stats)
+    return x + _mlp_block(p, L.rmsnorm(p["post_norm"], x, cfg.rms_norm_eps),
+                          stats=stats)
 
 
 def apply(params: dict, cfg: LlamaConfig, *,
@@ -187,9 +207,15 @@ def apply(params: dict, cfg: LlamaConfig, *,
           inputs_embeds: Optional[jnp.ndarray] = None,
           lora: Optional[dict] = None,
           lora_cfg: Optional[LoraConfig] = None,
-          remat: bool = False, one_hot_embed: bool = False) -> jnp.ndarray:
+          remat: bool = False, one_hot_embed: bool = False,
+          quant_stats: Optional[list] = None) -> jnp.ndarray:
     """Returns final-norm hidden states (B, T, D) — matching the reference's
-    output_hidden_states[-1] (HF appends the post-norm state last)."""
+    output_hidden_states[-1] (HF appends the post-norm state last).
+
+    quant_stats: pass an empty list to collect, per layer, the column-max
+    |input| of each quantized-matmul site (SmoothQuant calibration — one
+    dict per layer with attn_in/o_in/mlp_in/down_in).  Collection is a
+    calibration-only mode and is incompatible with remat."""
     if inputs_embeds is None:
         inputs_embeds = embed(params, input_ids, one_hot=one_hot_embed)
     x = inputs_embeds
@@ -200,6 +226,8 @@ def apply(params: dict, cfg: LlamaConfig, *,
                                   cfg.rope_theta)
     scaling = 1.0 if lora_cfg is None else lora_cfg.alpha / lora_cfg.rank
 
+    assert not (remat and quant_stats is not None), \
+        "quant_stats collection is incompatible with remat"
     layer_fn = _layer
     if remat:
         # remat="dots" keeps matmul outputs (~65MB/layer bf16 at seq 767)
@@ -212,7 +240,12 @@ def apply(params: dict, cfg: LlamaConfig, *,
                                   policy=policy)
     for i, lp in enumerate(params["layers"]):
         llp = None if lora is None else lora["layers"][i]
-        x = layer_fn(lp, llp, x, cos[:T], sin[:T], cfg, scaling)
+        if quant_stats is None:
+            x = layer_fn(lp, llp, x, cos[:T], sin[:T], cfg, scaling)
+        else:
+            st: dict = {}
+            quant_stats.append(st)
+            x = _layer(lp, llp, x, cos[:T], sin[:T], cfg, scaling, stats=st)
     return L.rmsnorm(params["norm"], x, cfg.rms_norm_eps)
 
 

@@ -103,11 +103,13 @@ def forward(params: dict, cfg: LlavaConfig, *,
             image_embeds: Optional[jnp.ndarray] = None,
             lora: Optional[dict] = None,
             lora_cfg: Optional[LoraConfig] = None,
-            remat: bool = False, one_hot_embed: bool = False) -> jnp.ndarray:
+            remat: bool = False, one_hot_embed: bool = False,
+            quant_stats: Optional[list] = None) -> jnp.ndarray:
     """Full multimodal forward -> final hidden states (B, T+N-1, D).
 
     Provide `images` (CLIP pixel input, possibly fewer rows than input_ids
     with the caller pre-expanding) or precomputed `image_embeds`.
+    quant_stats: SmoothQuant calibration collector (see llama.apply).
     """
     if image_embeds is None:
         image_embeds = encode_images(params, cfg, images)
@@ -115,7 +117,8 @@ def forward(params: dict, cfg: LlavaConfig, *,
     x = splice_image_tokens(text_embeds, image_embeds.astype(text_embeds.dtype),
                             image_pos)
     return llama.apply(params["llm"], cfg.llm, inputs_embeds=x, lora=lora,
-                       lora_cfg=lora_cfg, remat=remat)
+                       lora_cfg=lora_cfg, remat=remat,
+                       quant_stats=quant_stats)
 
 
 def forward_mpt(params: dict, cfg: LlavaConfig, mpt_cfg, *,

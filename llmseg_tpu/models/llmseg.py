@@ -81,7 +81,8 @@ def seg_hidden_index(input_ids: jnp.ndarray, cfg: LLMSegConfig):
 
 def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
             lora_cfg: Optional[LoraConfig] = None,
-            remat: bool = False, one_hot_embed: bool = False) -> Dict:
+            remat: bool = False, one_hot_embed: bool = False,
+            quant_stats: Optional[list] = None) -> Dict:
     """Shared train/inference forward.
 
     batch keys (shapes; B=images, R=conversation rows, K=max_proposals,
@@ -119,7 +120,8 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
                            image_pos=batch["image_pos"],
                            image_embeds=img_embeds,
                            lora=lora, lora_cfg=lora_cfg, remat=remat,
-                           one_hot_embed=one_hot_embed)
+                           one_hot_embed=one_hot_embed,
+                           quant_stats=quant_stats)
 
     # 3. [SEG] embedding -> text projection.  One-hot einsum instead of
     # take_along_axis: its transpose is another einsum, not a scatter —
@@ -144,6 +146,25 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
         "prop_valid": prop_valid,
         "row_valid": batch["row_valid"] & has_seg,
     }
+
+
+def calibrate_quant_stats(params: dict, cfg: LLMSegConfig, batch: Dict,
+                          lora_cfg: Optional[LoraConfig] = None):
+    """One bf16 forward on a calibration batch, recording per LLM layer the
+    column-max |input| of every quantized-matmul site (SmoothQuant, Xiao et
+    al. 2022 — the TPU-native replacement for bitsandbytes LLM.int8()'s
+    runtime outlier decomposition, reference
+    model/llava/model/builder.py:40-47).  Feed the result to
+    quant.quantize_llama_inplace(smooth_stats=...) BEFORE quantizing; run
+    on bf16 weights."""
+    import jax
+
+    def f(p, b):
+        st: list = []
+        forward(p, cfg, b, lora_cfg=lora_cfg, quant_stats=st)
+        return st
+
+    return jax.device_get(jax.jit(f)(params, batch))
 
 
 def loss_fn(params: dict, cfg: LLMSegConfig, batch: Dict, *,

@@ -276,6 +276,183 @@ def test_w8a8_e2e_predict():
     assert np.corrcoef(a, b)[0, 1] > 0.99
 
 
+def _calib_smooth(x, w, alpha=0.5):
+    """Single-leaf SmoothQuant vector from a calibration activation set."""
+    a_max = np.abs(x).max(0)
+    w_max = np.abs(w).max(1)
+    return quant._smooth_scales(a_max, w_max, alpha)
+
+
+def test_smoothquant_fold_preserves_product():
+    """The folding identity (x * a_inv) @ (w * s) == x @ w must hold
+    exactly in fp32, and the quantized smoothed leaf must stay within the
+    usual W8A8 error band on well-behaved inputs."""
+    k1 = jax.random.PRNGKey(0)
+    w = jax.random.normal(k1, (256, 32)) * 0.1
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 256))
+    s = _calib_smooth(np.asarray(x), np.asarray(w))
+    np.testing.assert_allclose(
+        np.asarray((x * (1.0 / s)) @ (w * s[:, None])),
+        np.asarray(x @ w), rtol=2e-5, atol=2e-6)
+
+    qp = quant.quantize_dense_w8a8({"w": w}, s=s)
+    np.testing.assert_allclose(np.asarray(qp["a_inv"]),
+                               1.0 / np.asarray(s), rtol=1e-6)
+    ref = np.asarray(x @ w)
+    got = np.asarray(quant.qdense(qp, x))
+    rel = np.abs(got - ref).max() / np.abs(ref).max()
+    assert rel < 0.04, rel
+
+
+def test_smoothquant_beats_plain_on_outliers():
+    """The same injected-outlier stress as the decomposition tests: plain
+    per-token W8A8 error explodes (scale poisoning), calibrated smoothing
+    stays near the no-outlier band — at ZERO runtime cost (the mechanism
+    that replaced the +37%-overhead dynamic decomposition, see
+    quant.W8A8_OUTLIER_K)."""
+    rs = np.random.RandomState(0)
+    x, w = _outlier_xw(rs)
+    ref = x @ w
+
+    plain = np.asarray(quant.qdense(
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}), jnp.asarray(x)))
+    s = _calib_smooth(x, w)
+    smooth = np.asarray(quant.qdense(
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}, s=s),
+        jnp.asarray(x)))
+
+    err_plain = np.abs(plain - ref).max() / np.abs(ref).max()
+    err_smooth = np.abs(smooth - ref).max() / np.abs(ref).max()
+    assert err_plain > 4 * err_smooth, (err_plain, err_smooth)
+    assert err_smooth < 0.08, err_smooth
+
+
+def test_smoothquant_ranking_no_flip():
+    """Confident-row argmax stability under injected outliers — the
+    headline's actual risk — for the smoothed path."""
+    rs = np.random.RandomState(1)
+    x, w = _outlier_xw(rs, rows=64)
+    y = x @ w
+    ref_top = y.argmax(-1)
+    srt = np.sort(y, -1)
+    confident = (srt[:, -1] - srt[:, -2]) > 0.25 * y.std(-1)
+    assert confident.sum() >= 20
+
+    plain_top = np.asarray(quant.qdense(
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}),
+        jnp.asarray(x))).argmax(-1)
+    s = _calib_smooth(x, w)
+    smooth_top = np.asarray(quant.qdense(
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}, s=s),
+        jnp.asarray(x))).argmax(-1)
+
+    assert ((plain_top != ref_top) & confident).any(), \
+        "injection too weak to flip a confident row for plain W8A8"
+    assert not ((smooth_top != ref_top) & confident).any()
+
+
+def test_llama_quant_stats_collection():
+    """apply(quant_stats=[]) fills one dict per layer with the four site
+    colmaxes at the right shapes, and does not change the forward."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids))
+    stats: list = []
+    h = np.asarray(llama.apply(params, cfg, input_ids=ids,
+                               quant_stats=stats))
+    np.testing.assert_array_equal(h, h_ref)
+    assert len(stats) == cfg.num_layers
+    d = cfg.hidden_size
+    for st in stats:
+        assert set(st) == {"attn_in", "o_in", "mlp_in", "down_in"}
+        assert st["attn_in"].shape == (d,)
+        assert st["o_in"].shape == (cfg.num_heads * cfg.head_dim,)
+        assert st["mlp_in"].shape == (d,)
+        assert st["down_in"].shape == (cfg.intermediate_size,)
+        assert all(np.all(np.asarray(v) >= 0) for v in st.values())
+
+
+def test_llama_calibrated_smooth_quant_forward():
+    """End-to-end through a tiny LLaMA with injected persistent outlier
+    channels: calibrate -> smooth-quantize tracks bf16 markedly better
+    than plain W8A8, with a_inv on projection leaves and lm_head left
+    unsmoothed (no calibration site)."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    emb = np.array(params["embed_tokens"], np.float32)
+    emb[:, 5] *= 80.0
+    emb[:, 11] *= 50.0
+    params["embed_tokens"] = jnp.asarray(emb)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids)).ravel()
+
+    stats: list = []
+    llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+
+    q_plain = quant.quantize_llama(params, bits=8, w8a8=True)
+    q_smooth = quant.quantize_llama(params, bits=8, w8a8=True,
+                                    smooth_stats=stats)
+    assert "a_inv" in q_smooth["layers"][0]["attn"]["q"]
+    assert "a_inv" not in q_smooth["lm_head"]
+    c_plain = np.corrcoef(h_ref, np.asarray(
+        llama.apply(q_plain, cfg, input_ids=ids)).ravel())[0, 1]
+    c_smooth = np.corrcoef(h_ref, np.asarray(
+        llama.apply(q_smooth, cfg, input_ids=ids)).ravel())[0, 1]
+    assert c_smooth > c_plain, (c_plain, c_smooth)
+    assert c_smooth > 0.99, c_smooth
+
+
+def test_quantize_llama_inplace_smooth_matches_functional():
+    """The memory-tight in-place path with smooth_stats must produce the
+    same tree as the functional quantize_llama."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    stats: list = []
+    llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+
+    ref = quant.quantize_llama(params, bits=8, w8a8=True,
+                               smooth_stats=stats)
+    live = jax.tree.map(lambda x: x, params)
+    out = quant.quantize_llama_inplace(live, bits=8, w8a8=True,
+                                       smooth_stats=stats)
+    assert out is live
+
+    def cmp(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            # jitted vs eager rounding can differ by 1ulp exactly at .5
+            assert np.abs(a.astype(np.int32) - b.astype(np.int32)).max() <= 1
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-5)
+
+    jax.tree.map(cmp, ref, out)
+
+
+def test_llmseg_calibrate_quant_stats():
+    """The model-level calibration entry used by bench and the eval CLI."""
+    from llmseg_tpu import config as C2
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg = C2.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    stats = llmseg.calibrate_quant_stats(params, cfg, batch)
+    assert len(stats) == cfg.llava.llm.num_layers
+    assert stats[0]["attn_in"].shape == (cfg.llava.llm.hidden_size,)
+
+    ref = llmseg.predict(params, cfg, batch)
+    quant.quantize_llama_inplace(params["llava"]["llm"], bits=8, w8a8=True,
+                                 smooth_stats=stats)
+    assert "a_inv" in params["llava"]["llm"]["layers"][0]["attn"]["q"]
+    got = llmseg.predict(params, cfg, batch)
+    a = np.asarray(ref["pred_similarity"]).ravel()
+    b = np.asarray(got["pred_similarity"]).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
 def test_shared_activation_quant_matches_per_matmul():
     """The q/k/v (and gate/up) shared-activation-quant path must be exactly
     the per-matmul qdense: quantize_activation depends only on x, so one
