@@ -47,6 +47,10 @@ def build_parser(name: str) -> argparse.ArgumentParser:
                         "+35%% e2e at 7B — beyond the reference's "
                         "load_8bit; validate ranking on your checkpoint "
                         "before relying on it)")
+    p.add_argument("--calib_batches", type=int, default=8,
+                   help="val batches for the --w8a8 SmoothQuant "
+                        "calibration forward (stats merge by column max "
+                        "across batches; 0 quantizes unsmoothed)")
     p.add_argument("--model_max_length", type=int, default=512)
     p.add_argument("--out_dim", type=int, default=256)
     p.add_argument("--use_mm_start_end", action="store_true", default=True)

@@ -86,24 +86,27 @@ def main(argv=None):
         # inference-time weight-only quantization AFTER any restore
         # (reference load_8bit/load_4bit, model/llava/model/builder.py:
         # 40-58).  In-place mutation of the frozen skeleton so the bf16
-        # and int trees never coexist on a 16 GB chip.  For --w8a8, a
-        # SmoothQuant calibration forward on the first val batch runs
-        # FIRST (bf16 weights must still be live) so activation-outlier
-        # columns fold into the weights at zero runtime cost.
+        # and int trees never coexist on a 16 GB chip.  For --w8a8 (and
+        # --load_4bit), a calibration forward over the first val batches
+        # runs FIRST (bf16 weights must still be live): SmoothQuant
+        # outlier folding for W8A8, AWQ-style salient-channel protection
+        # for int4 — both at zero runtime cost (static reparameterization,
+        # ops/quant.fold_smooth_llama_inplace).
         from llmseg_tpu.ops import quant
 
         if args.w8a8 and args.load_4bit:
             raise SystemExit("--w8a8 is an int8 mode; combine it with "
                              "--load_8bit, not --load_4bit")
         smooth_stats = None
-        if args.w8a8 and val_ds is not None:
+        if (args.w8a8 or args.load_4bit) and val_ds is not None:
+            import itertools
+
             from llmseg_tpu.models import llmseg
 
-            first = next(iter(val_batches()), None)
-            if first is not None:
-                smooth_stats = llmseg.calibrate_quant_stats(
-                    trainer.params, cfg.model, first[0],
-                    lora_cfg=lora_cfg)
+            calib = (b for b, _ in itertools.islice(
+                val_batches(), max(args.calib_batches, 0)))
+            smooth_stats = llmseg.calibrate_quant_stats(
+                trainer.params, cfg.model, calib, lora_cfg=lora_cfg)
         quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
                                      bits=4 if args.load_4bit else 8,
                                      w8a8=args.w8a8,

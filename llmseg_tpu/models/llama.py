@@ -103,21 +103,21 @@ def _dense_lora(p, lp, x, scaling: float):
 def _shared_qdense(ps, x):
     """One activation quantization shared by several W8A8 matmuls on the
     same input (exactly equivalent to per-matmul quantization — the quant
-    depends only on x and the group's shared SmoothQuant vector, which
-    llama_smooth_map computes once per shared-input group).  Returns None
-    when the leaves are not W8A8, so the caller falls back to the
-    per-matmul L.dense path."""
+    depends only on x; SmoothQuant folding happens statically in the
+    weights/norms before quantization, so the runtime path is untouched).
+    Returns None when the leaves are not W8A8, so the caller falls back to
+    the per-matmul L.dense path."""
     if not all("w_q8a" in p for p in ps):
         return None
     from llmseg_tpu.ops import quant
 
-    qa = quant.quantize_activation(x, a_inv=ps[0].get("a_inv"))
+    qa = quant.quantize_activation(x)
     return [quant.qdense_act(p, qa, x.dtype) for p in ps]
 
 
 def _colmax(x: jnp.ndarray) -> jnp.ndarray:
     """Per-input-channel |activation| maximum over every token — the
-    SmoothQuant calibration statistic (see ops/quant.llama_smooth_map)."""
+    SmoothQuant calibration statistic (see ops/quant.llama_smooth_plan)."""
     return jnp.max(jnp.abs(x.astype(jnp.float32)),
                    axis=tuple(range(x.ndim - 1)))
 

@@ -148,23 +148,39 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
     }
 
 
-def calibrate_quant_stats(params: dict, cfg: LLMSegConfig, batch: Dict,
+def calibrate_quant_stats(params: dict, cfg: LLMSegConfig, batch,
                           lora_cfg: Optional[LoraConfig] = None):
-    """One bf16 forward on a calibration batch, recording per LLM layer the
+    """bf16 forward(s) on calibration data, recording per LLM layer the
     column-max |input| of every quantized-matmul site (SmoothQuant, Xiao et
     al. 2022 — the TPU-native replacement for bitsandbytes LLM.int8()'s
     runtime outlier decomposition, reference
-    model/llava/model/builder.py:40-47).  Feed the result to
+    model/llava/model/builder.py:40-47).  `batch` is one batch dict or an
+    iterable of same-shape batch dicts (one compile); multi-batch stats are
+    merged by elementwise max — SmoothQuant's statistic is the column max
+    over ALL calibration tokens.  Feed the result to
     quant.quantize_llama_inplace(smooth_stats=...) BEFORE quantizing; run
-    on bf16 weights."""
+    on bf16 weights.  Returns None when `batch` is an empty iterable."""
     import jax
+    import numpy as np
 
+    if isinstance(batch, dict):
+        batch = (batch,)
+
+    @jax.jit
     def f(p, b):
         st: list = []
         forward(p, cfg, b, lora_cfg=lora_cfg, quant_stats=st)
         return st
 
-    return jax.device_get(jax.jit(f)(params, batch))
+    merged = None
+    for b in batch:
+        st = jax.device_get(f(params, b))
+        if merged is None:
+            merged = st
+        else:
+            merged = [{k: np.maximum(m[k], s[k]) for k in m}
+                      for m, s in zip(merged, st)]
+    return merged
 
 
 def loss_fn(params: dict, cfg: LLMSegConfig, batch: Dict, *,

@@ -29,10 +29,13 @@ import jax.numpy as jnp
 #
 # Default mechanism: SMOOTHING (SmoothQuant, Xiao et al. 2022) — a one-off
 # calibration forward records per-matmul-input column maxima, and each
-# outlier column is migrated INTO the weights at quantization time
-# (w_row_j *= s_j, activations multiplied by a_inv_j = 1/s_j).  The a_inv
-# multiply fuses into the activation-quant pass, so runtime cost is ~0;
-# see quantize_llama(smooth_stats=...) and llmseg.calibrate_quant_stats.
+# outlier column is migrated INTO the weights at quantization time by a
+# STATIC fold (fold_smooth_llama_inplace): w rows *= s_j, and the matching
+# 1/s_j goes into whatever PRODUCES that input — the preceding rmsnorm
+# gamma for q/k/v and gate/up, the v (resp. up) output columns for the o
+# (resp. down) projection.  The quantized program is bit-identical to
+# plain W8A8 — zero runtime cost, no extra leaves; see
+# quantize_llama(smooth_stats=...) and llmseg.calibrate_quant_stats.
 #
 # Opt-in fallback (no calibration available): LLM.int8-style dynamic
 # decomposition — per matmul, the top-K columns by |activation| go through
@@ -48,6 +51,15 @@ W8A8_OUTLIER_K = int(os.environ.get("LLMSEG_W8A8_OUTLIER_K", "0"))
 # 0.5 splits the dynamic range evenly between activations and weights.
 W8A8_SMOOTH_ALPHA = float(os.environ.get("LLMSEG_W8A8_SMOOTH_ALPHA", "0.5"))
 
+# The same static fold doubles as AWQ-style (Lin et al. 2023) salient-
+# channel protection for WEIGHT-ONLY int4: scaling high-activation weight
+# rows up gives them finer effective resolution inside their quant group,
+# compensated exactly by the producing op.  Activations are NOT quantized
+# there, so the optimal migration is much weaker — measured on synthetic
+# outlier injection (tiny LLaMA, 4 seeds): corr vs bf16 0.93-0.94 plain ->
+# 0.95-0.97 folded across alpha in [0.15, 0.5], sweet spot ~0.25.
+W4_SMOOTH_ALPHA = float(os.environ.get("LLMSEG_W4_SMOOTH_ALPHA", "0.25"))
+
 
 def quantize_dense(p: Dict) -> Dict:
     """{'w': (in, out) float, 'b'?} -> {'w_q': int8, 'w_scale': (out,), 'b'?}."""
@@ -61,26 +73,19 @@ def quantize_dense(p: Dict) -> Dict:
     return out
 
 
-def quantize_dense_w8a8(p: Dict, s: jnp.ndarray | None = None) -> Dict:
+def quantize_dense_w8a8(p: Dict) -> Dict:
     """Like quantize_dense, but stored under 'w_q8a': the apply path also
     quantizes ACTIVATIONS per token and runs the matmul s8 x s8 -> s32 on
     the MXU's double-rate int8 path (v5e: 394 vs 197 TOPs).  Beyond the
     reference's load_8bit (weight-only dequant): measured 1.5x per matmul
     at LLaMA-7B shapes, opt-in because real-weight selection-quality under
     activation quantization is unvalidated in this checkpoint-less
-    environment (ranking probe in bench.py --w8a8).
-
-    `s` (in_dim,) applies SmoothQuant folding: the stored weight is
-    w * s[:, None] and the leaf carries 'a_inv' = 1/s, which
-    quantize_activation multiplies in before quantizing — exact in fp32
-    ((x/s) @ (w*s) == x @ w), and the multiply fuses into the quant pass."""
-    if s is not None:
-        p = dict(p)
-        p["w"] = p["w"].astype(jnp.float32) * s[:, None]
+    environment (ranking probe in bench.py --w8a8).  SmoothQuant outlier
+    folding happens BEFORE this, on the bf16 tree
+    (fold_smooth_llama_inplace) — the quantized leaf carries nothing
+    extra."""
     out = dict(quantize_dense(p))
     out["w_q8a"] = out.pop("w_q")
-    if s is not None:
-        out["a_inv"] = (1.0 / s).astype(jnp.float32)
     return out
 
 
@@ -130,23 +135,15 @@ def _qdense4(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
-def quantize_activation(x: jnp.ndarray, k: int | None = None,
-                        a_inv: jnp.ndarray | None = None) -> Dict:
+def quantize_activation(x: jnp.ndarray, k: int | None = None) -> Dict:
     """Per-token activation quantization, computed ONCE and shared by every
     w8a8 matmul that consumes the same input (q/k/v share their normed
     hidden state; gate/up share theirs — sharing drops the per-layer
     activation-quant passes from 7 to 4).  Returns
     {'xq' int8 outlier-zeroed, 'sc' per-token scale, 'x_out'/'idx' when the
-    outlier decomposition is on}.  All fields depend only on x (and the
-    weights' shared smoothing vector), so sharing is exactly equivalent to
-    recomputing per matmul.
-
-    a_inv (in_dim,) is the SmoothQuant 1/s vector stored on the weight leaf
-    (see quantize_dense_w8a8): one constant vector multiply that XLA fuses
-    into the quant pass — the smoothed path costs nothing extra."""
+    outlier decomposition is on}.  All fields depend only on x, so sharing
+    is exactly equivalent to recomputing per matmul."""
     xf = x.astype(jnp.float32)
-    if a_inv is not None:
-        xf = xf * a_inv
     in_dim = xf.shape[-1]
     k = min(W8A8_OUTLIER_K if k is None else k, in_dim // 2)
     qa: Dict = {}
@@ -200,8 +197,7 @@ def qdense(p: Dict, x: jnp.ndarray) -> jnp.ndarray:
     if "w_q4" in p:
         return _qdense4(p, x)
     if "w_q8a" in p:
-        return qdense_act(p, quantize_activation(x, a_inv=p.get("a_inv")),
-                          x.dtype)
+        return qdense_act(p, quantize_activation(x), x.dtype)
     y = jax.lax.dot_general(
         x, p["w_q"].astype(x.dtype),
         (((x.ndim - 1,), (0,)), ((), ())),
@@ -222,32 +218,93 @@ def _smooth_scales(a_max, w_max, alpha: float) -> jnp.ndarray:
     return jnp.clip(a ** alpha / w ** (1.0 - alpha), 1e-3, 1e3)
 
 
-def llama_smooth_map(llm_params: Dict, stats, alpha: float | None = None):
-    """path-tuple -> smoothing vector for every LLaMA projection covered by
-    calibration.  `stats` is the per-layer list from
-    llama.apply(quant_stats=...) / llmseg.calibrate_quant_stats: dicts with
-    'attn_in' (q/k/v shared input), 'o_in', 'mlp_in' (gate/up shared),
-    'down_in' column maxima.  Shared-input groups get ONE s computed from
-    the max |w| across the group, so the shared activation quantization in
-    llama._shared_qdense stays exactly equivalent to per-matmul quant.
-    lm_head has no calibration site and stays unsmoothed."""
+def llama_smooth_plan(llm_params: Dict, stats, alpha: float | None = None):
+    """Per-layer static-fold vectors from calibration stats.  `stats` is the
+    per-layer list from llama.apply(quant_stats=...) /
+    llmseg.calibrate_quant_stats: dicts with 'attn_in' (q/k/v shared
+    input), 'o_in', 'mlp_in' (gate/up shared), 'down_in' column maxima.
+    Shared-input groups get ONE s computed from the max |w| across the
+    group (their producer — the rmsnorm gamma — is shared, so it must be).
+    Returns one {'attn', 'o', 'mlp', 'down'} dict of fp32 s vectors per
+    layer; 'o' is None under GQA (num_kv_heads < num_heads: a v output
+    column feeds several o input channels after the head repeat, so no
+    exact static fold exists — the o site is left unsmoothed there).
+    lm_head has no calibration site and stays unsmoothed (its input, the
+    final-norm hidden state, also feeds the unquantized selection head)."""
     alpha = W8A8_SMOOTH_ALPHA if alpha is None else alpha
     wmax = jax.jit(lambda w: jnp.max(jnp.abs(w.astype(jnp.float32)), axis=1))
-    groups = {"attn_in": ("attn", ("q", "k", "v")),
-              "o_in": ("attn", ("o",)),
-              "mlp_in": ("mlp", ("gate", "up")),
-              "down_in": ("mlp", ("down",))}
-    smap = {}
+    plan = []
     for i, layer in enumerate(llm_params["layers"]):
-        for site, (blk, names) in groups.items():
-            wm = None
-            for n in names:
-                m = wmax(layer[blk][n]["w"])
-                wm = m if wm is None else jnp.maximum(wm, m)
-            s = _smooth_scales(stats[i][site], wm, alpha)
-            for n in names:
-                smap[("layers", i, blk, n)] = s
-    return smap
+        a, m = layer["attn"], layer["mlp"]
+        wm_qkv = jnp.maximum(jnp.maximum(wmax(a["q"]["w"]),
+                                         wmax(a["k"]["w"])),
+                             wmax(a["v"]["w"]))
+        wm_gu = jnp.maximum(wmax(m["gate"]["w"]), wmax(m["up"]["w"]))
+        mha = a["o"]["w"].shape[0] == a["v"]["w"].shape[1]
+        plan.append({
+            "attn": _smooth_scales(stats[i]["attn_in"], wm_qkv, alpha),
+            "o": (_smooth_scales(stats[i]["o_in"], wmax(a["o"]["w"]), alpha)
+                  if mha else None),
+            "mlp": _smooth_scales(stats[i]["mlp_in"], wm_gu, alpha),
+            "down": _smooth_scales(stats[i]["down_in"], wmax(m["down"]["w"]),
+                                   alpha),
+        })
+    return plan
+
+
+def fold_smooth_llama_inplace(llm_params: Dict, smooth_stats,
+                              alpha: float | None = None,
+                              donate: bool = True) -> Dict:
+    """Fold SmoothQuant scaling STATICALLY into the live bf16 tree, in
+    place, BEFORE quantization — an exact function-preserving
+    reparameterization (same outputs in exact arithmetic):
+
+      input_norm gamma /= s_attn;  q/k/v weight rows *= s_attn
+      post_norm  gamma /= s_mlp;   gate/up weight rows *= s_mlp
+      v columns (+bias) /= s_o;    o weight rows *= s_o
+      up columns (+bias) /= s_down; down weight rows *= s_down
+
+    Each 1/s lands in whatever PRODUCES the quantized matmul's input, so
+    after quantization the runtime program is bit-identical to plain W8A8:
+    zero inference cost, no extra leaves.  The v/o and up/down folds are
+    exact because a v (resp. up) output column feeds exactly one o (resp.
+    down) input channel — attention mixes tokens with scalar weights and
+    the MLP product is elementwise.  Under GQA the o site is skipped (see
+    llama_smooth_plan).  donate=False when the leaf buffers are shared
+    with another live tree (the functional quantize_llama path) — donation
+    would invalidate the caller's arrays."""
+    plan = llama_smooth_plan(llm_params, smooth_stats, alpha)
+    dn = (0,) if donate else ()
+    rows = jax.jit(lambda w, s: (w.astype(jnp.float32)
+                                 * s[:, None]).astype(w.dtype),
+                   donate_argnums=dn)
+    rows_cols = jax.jit(lambda w, sr, sc: (w.astype(jnp.float32)
+                                           * sr[:, None]
+                                           / sc[None, :]).astype(w.dtype),
+                        donate_argnums=dn)
+    vdiv = jax.jit(lambda g, s: (g.astype(jnp.float32) / s).astype(g.dtype),
+                   donate_argnums=dn)
+    for layer, e in zip(llm_params["layers"], plan):
+        a, m = layer["attn"], layer["mlp"]
+        layer["input_norm"]["scale"] = vdiv(layer["input_norm"]["scale"],
+                                            e["attn"])
+        a["q"]["w"] = rows(a["q"]["w"], e["attn"])
+        a["k"]["w"] = rows(a["k"]["w"], e["attn"])
+        if e["o"] is None:
+            a["v"]["w"] = rows(a["v"]["w"], e["attn"])
+        else:
+            a["v"]["w"] = rows_cols(a["v"]["w"], e["attn"], e["o"])
+            if "b" in a["v"]:
+                a["v"]["b"] = vdiv(a["v"]["b"], e["o"])
+            a["o"]["w"] = rows(a["o"]["w"], e["o"])
+        layer["post_norm"]["scale"] = vdiv(layer["post_norm"]["scale"],
+                                           e["mlp"])
+        m["gate"]["w"] = rows(m["gate"]["w"], e["mlp"])
+        m["up"]["w"] = rows_cols(m["up"]["w"], e["mlp"], e["down"])
+        if "b" in m["up"]:
+            m["up"]["b"] = vdiv(m["up"]["b"], e["down"])
+        m["down"]["w"] = rows(m["down"]["w"], e["down"])
+    return llm_params
 
 
 def _pick_qfn(bits: int, w8a8: bool):
@@ -259,22 +316,18 @@ def _pick_qfn(bits: int, w8a8: bool):
 
 
 def quantize_tree(params, predicate=None, bits: int = 8,
-                  w8a8: bool = False, smooth=None):
+                  w8a8: bool = False):
     """Quantize every dense leaf-dict ({'w': 2D}) in a pytree.  predicate
     (path_tuple -> bool) can exclude subtrees (e.g. norms are left alone —
     they are 1D and skipped automatically).  bits: 8 or 4; w8a8 also
-    quantizes activations at apply time (see quantize_dense_w8a8).
-    smooth: path-tuple -> s vector map (llama_smooth_map) applying
-    SmoothQuant folding to the leaves it covers (w8a8 only)."""
-    assert smooth is None or w8a8, "smoothing is a W8A8 mechanism"
+    quantizes activations at apply time (see quantize_dense_w8a8)."""
     qfn = _pick_qfn(bits, w8a8)
 
     def walk(node, path):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2 and (
                     predicate is None or predicate(path)):
-                s = smooth.get(path) if smooth else None
-                return qfn(node, s) if s is not None else qfn(node)
+                return qfn(node)
             return {k: walk(v, path + (k,)) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v, path + (i,))
@@ -294,11 +347,19 @@ def quantize_llama(llm_params: Dict, bits: int = 8, w8a8: bool = False,
     """Quantize LLaMA projection weights; embeddings and norms stay full
     precision (embedding rows are gathered, not matmul'd).  smooth_stats
     (per-layer calibration column maxima, llmseg.calibrate_quant_stats)
-    enables SmoothQuant folding on the W8A8 path."""
-    smooth = (llama_smooth_map(llm_params, smooth_stats, alpha)
-              if w8a8 and smooth_stats is not None else None)
-    return quantize_tree(llm_params, _llama_pred, bits=bits, w8a8=w8a8,
-                         smooth=smooth)
+    applies the calibration static fold before quantizing: SmoothQuant
+    outlier migration for W8A8, AWQ-style salient-channel protection for
+    weight-only int4 (weaker default alpha, W4_SMOOTH_ALPHA); weight-only
+    int8's quant error is already negligible, so stats are ignored there.
+    The input tree is never mutated (the fold runs on fresh containers,
+    without buffer donation)."""
+    if smooth_stats is not None and (w8a8 or bits == 4):
+        if alpha is None and not w8a8:
+            alpha = W4_SMOOTH_ALPHA
+        llm_params = jax.tree.map(lambda x: x, llm_params)
+        fold_smooth_llama_inplace(llm_params, smooth_stats, alpha,
+                                  donate=False)
+    return quantize_tree(llm_params, _llama_pred, bits=bits, w8a8=w8a8)
 
 
 def quantize_llama_inplace(llm_params: Dict, bits: int = 8,
@@ -309,21 +370,20 @@ def quantize_llama_inplace(llm_params: Dict, bits: int = 8,
     first is still referenced would OOM).  Mutates the dicts leaf by leaf,
     dropping each bf16 weight as soon as its int copy exists, so peak extra
     HBM is one layer's weights, not the whole model's.  Donating the source
-    buffer into the jitted per-leaf quantizer lets XLA reuse it.  The
-    smoothing map (tiny per-channel vectors) is computed up front, before
-    any weight is dropped."""
-    smooth = (llama_smooth_map(llm_params, smooth_stats, alpha)
-              if w8a8 and smooth_stats is not None else None)
+    buffer into the jitted per-leaf quantizer lets XLA reuse it.  With
+    smooth_stats, the calibration fold runs first, also in place with
+    donated buffers (peak extra HBM: one leaf)."""
+    if smooth_stats is not None and (w8a8 or bits == 4):
+        if alpha is None and not w8a8:
+            alpha = W4_SMOOTH_ALPHA
+        fold_smooth_llama_inplace(llm_params, smooth_stats, alpha)
     qfn = jax.jit(_pick_qfn(bits, w8a8), donate_argnums=0)
-    qfn_s = (jax.jit(quantize_dense_w8a8, donate_argnums=0)
-             if smooth else None)
 
     def walk(node, path):
         if isinstance(node, dict):
             if "w" in node and getattr(node["w"], "ndim", 0) == 2 and (
                     _llama_pred(path)):
-                s = smooth.get(path) if smooth else None
-                q = qfn_s(dict(node), s) if s is not None else qfn(dict(node))
+                q = qfn(dict(node))
                 node.clear()
                 node.update(q)
                 return

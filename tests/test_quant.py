@@ -284,22 +284,22 @@ def _calib_smooth(x, w, alpha=0.5):
 
 
 def test_smoothquant_fold_preserves_product():
-    """The folding identity (x * a_inv) @ (w * s) == x @ w must hold
-    exactly in fp32, and the quantized smoothed leaf must stay within the
-    usual W8A8 error band on well-behaved inputs."""
+    """The folding identity (x / s) @ (w * s) == x @ w must hold exactly
+    in fp32, and the quantized folded leaf (weight rows pre-scaled, input
+    produced pre-divided — exactly what the static fold does through the
+    producing op) must stay within the usual W8A8 error band on
+    well-behaved inputs."""
     k1 = jax.random.PRNGKey(0)
     w = jax.random.normal(k1, (256, 32)) * 0.1
     x = jax.random.normal(jax.random.PRNGKey(1), (8, 256))
-    s = _calib_smooth(np.asarray(x), np.asarray(w))
+    s = jnp.asarray(_calib_smooth(np.asarray(x), np.asarray(w)))
     np.testing.assert_allclose(
         np.asarray((x * (1.0 / s)) @ (w * s[:, None])),
         np.asarray(x @ w), rtol=2e-5, atol=2e-6)
 
-    qp = quant.quantize_dense_w8a8({"w": w}, s=s)
-    np.testing.assert_allclose(np.asarray(qp["a_inv"]),
-                               1.0 / np.asarray(s), rtol=1e-6)
+    qp = quant.quantize_dense_w8a8({"w": w * s[:, None]})
     ref = np.asarray(x @ w)
-    got = np.asarray(quant.qdense(qp, x))
+    got = np.asarray(quant.qdense(qp, x * (1.0 / s)))
     rel = np.abs(got - ref).max() / np.abs(ref).max()
     assert rel < 0.04, rel
 
@@ -316,10 +316,10 @@ def test_smoothquant_beats_plain_on_outliers():
 
     plain = np.asarray(quant.qdense(
         quant.quantize_dense_w8a8({"w": jnp.asarray(w)}), jnp.asarray(x)))
-    s = _calib_smooth(x, w)
+    s = np.asarray(_calib_smooth(x, w))
     smooth = np.asarray(quant.qdense(
-        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}, s=s),
-        jnp.asarray(x)))
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w * s[:, None])}),
+        jnp.asarray(x / s)))
 
     err_plain = np.abs(plain - ref).max() / np.abs(ref).max()
     err_smooth = np.abs(smooth - ref).max() / np.abs(ref).max()
@@ -341,10 +341,10 @@ def test_smoothquant_ranking_no_flip():
     plain_top = np.asarray(quant.qdense(
         quant.quantize_dense_w8a8({"w": jnp.asarray(w)}),
         jnp.asarray(x))).argmax(-1)
-    s = _calib_smooth(x, w)
+    s = np.asarray(_calib_smooth(x, w))
     smooth_top = np.asarray(quant.qdense(
-        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}, s=s),
-        jnp.asarray(x))).argmax(-1)
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w * s[:, None])}),
+        jnp.asarray(x / s))).argmax(-1)
 
     assert ((plain_top != ref_top) & confident).any(), \
         "injection too weak to flip a confident row for plain W8A8"
@@ -373,11 +373,69 @@ def test_llama_quant_stats_collection():
         assert all(np.all(np.asarray(v) >= 0) for v in st.values())
 
 
+def test_fold_smooth_llama_is_function_preserving():
+    """The static fold is an exact reparameterization: an fp32 tiny LLaMA's
+    forward is unchanged (to float tolerance) after folding, with NO
+    quantization involved — the core exactness claim behind 'zero runtime
+    cost'.  Also checks the fold actually moved something (norm gammas and
+    projection weights differ) and left its non-targets alone."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 24), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids))
+
+    stats: list = []
+    llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+    folded = jax.tree.map(lambda x: x, params)
+    out = quant.fold_smooth_llama_inplace(folded, stats, donate=False)
+    assert out is folded
+
+    l0, f0 = params["layers"][0], folded["layers"][0]
+    assert not np.allclose(np.asarray(f0["input_norm"]["scale"]),
+                           np.asarray(l0["input_norm"]["scale"]))
+    assert not np.allclose(np.asarray(f0["attn"]["q"]["w"]),
+                           np.asarray(l0["attn"]["q"]["w"]))
+    np.testing.assert_array_equal(np.asarray(folded["norm"]["scale"]),
+                                  np.asarray(params["norm"]["scale"]))
+    np.testing.assert_array_equal(np.asarray(folded["lm_head"]["w"]),
+                                  np.asarray(params["lm_head"]["w"]))
+    np.testing.assert_array_equal(np.asarray(folded["embed_tokens"]),
+                                  np.asarray(params["embed_tokens"]))
+
+    h_fold = np.asarray(llama.apply(folded, cfg, input_ids=ids))
+    np.testing.assert_allclose(h_fold, h_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_fold_smooth_llama_gqa_skips_o_site():
+    """Under GQA a v output column feeds several o input channels, so no
+    exact static o-fold exists: the plan must skip it (o weights
+    untouched, v gets rows-only scaling) and stay function-preserving."""
+    cfg = C.LlamaConfig(vocab_size=256, hidden_size=64,
+                        intermediate_size=128, num_layers=2, num_heads=4,
+                        num_kv_heads=2, head_dim=16, max_seq_len=512)
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids))
+
+    stats: list = []
+    llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+    plan = quant.llama_smooth_plan(params, stats)
+    assert all(e["o"] is None for e in plan)
+
+    folded = jax.tree.map(lambda x: x, params)
+    quant.fold_smooth_llama_inplace(folded, stats, donate=False)
+    np.testing.assert_array_equal(
+        np.asarray(folded["layers"][0]["attn"]["o"]["w"]),
+        np.asarray(params["layers"][0]["attn"]["o"]["w"]))
+    h_fold = np.asarray(llama.apply(folded, cfg, input_ids=ids))
+    np.testing.assert_allclose(h_fold, h_ref, rtol=2e-4, atol=2e-5)
+
+
 def test_llama_calibrated_smooth_quant_forward():
     """End-to-end through a tiny LLaMA with injected persistent outlier
-    channels: calibrate -> smooth-quantize tracks bf16 markedly better
-    than plain W8A8, with a_inv on projection leaves and lm_head left
-    unsmoothed (no calibration site)."""
+    channels: calibrate -> fold -> quantize tracks bf16 markedly better
+    than plain W8A8, with lm_head left byte-identical to the plain path
+    (no calibration site — its input feeds the unquantized head too)."""
     cfg = C.llama_tiny()
     params = llama.init(jax.random.PRNGKey(0), cfg)
     emb = np.array(params["embed_tokens"], np.float32)
@@ -393,14 +451,47 @@ def test_llama_calibrated_smooth_quant_forward():
     q_plain = quant.quantize_llama(params, bits=8, w8a8=True)
     q_smooth = quant.quantize_llama(params, bits=8, w8a8=True,
                                     smooth_stats=stats)
-    assert "a_inv" in q_smooth["layers"][0]["attn"]["q"]
-    assert "a_inv" not in q_smooth["lm_head"]
+    assert not np.allclose(
+        np.asarray(q_smooth["layers"][0]["input_norm"]["scale"]),
+        np.asarray(params["layers"][0]["input_norm"]["scale"]))
+    np.testing.assert_array_equal(
+        np.asarray(q_smooth["lm_head"]["w_q8a"]),
+        np.asarray(q_plain["lm_head"]["w_q8a"]))
     c_plain = np.corrcoef(h_ref, np.asarray(
         llama.apply(q_plain, cfg, input_ids=ids)).ravel())[0, 1]
     c_smooth = np.corrcoef(h_ref, np.asarray(
         llama.apply(q_smooth, cfg, input_ids=ids)).ravel())[0, 1]
     assert c_smooth > c_plain, (c_plain, c_smooth)
     assert c_smooth > 0.99, c_smooth
+
+
+def test_int4_calibrated_fold_beats_plain():
+    """AWQ-style use of the same static fold for WEIGHT-ONLY int4
+    (reference load_4bit has no calibration at all): under persistent
+    outlier channels, calibrate -> fold(alpha=W4_SMOOTH_ALPHA) -> int4
+    tracks bf16 better than plain int4, across seeds."""
+    for seed in range(3):
+        cfg = C.llama_tiny()
+        params = llama.init(jax.random.PRNGKey(seed), cfg)
+        emb = np.array(params["embed_tokens"], np.float32)
+        rs = np.random.RandomState(seed)
+        for c_, f in zip(rs.choice(cfg.hidden_size, 3, replace=False),
+                         (80.0, 50.0, 30.0)):
+            emb[:, c_] *= f
+        params["embed_tokens"] = jnp.asarray(emb)
+        ids = jax.random.randint(jax.random.PRNGKey(seed + 100),
+                                 (2, 24), 4, 200)
+        h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids)).ravel()
+        stats: list = []
+        llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+
+        q_plain = quant.quantize_llama(params, bits=4)
+        q_fold = quant.quantize_llama(params, bits=4, smooth_stats=stats)
+        c_plain = np.corrcoef(h_ref, np.asarray(
+            llama.apply(q_plain, cfg, input_ids=ids)).ravel())[0, 1]
+        c_fold = np.corrcoef(h_ref, np.asarray(
+            llama.apply(q_fold, cfg, input_ids=ids)).ravel())[0, 1]
+        assert c_fold > c_plain, (seed, c_plain, c_fold)
 
 
 def test_quantize_llama_inplace_smooth_matches_functional():
@@ -444,13 +535,46 @@ def test_llmseg_calibrate_quant_stats():
     assert stats[0]["attn_in"].shape == (cfg.llava.llm.hidden_size,)
 
     ref = llmseg.predict(params, cfg, batch)
+    gamma0 = np.array(
+        params["llava"]["llm"]["layers"][0]["input_norm"]["scale"])
     quant.quantize_llama_inplace(params["llava"]["llm"], bits=8, w8a8=True,
                                  smooth_stats=stats)
-    assert "a_inv" in params["llava"]["llm"]["layers"][0]["attn"]["q"]
+    assert not np.allclose(
+        np.asarray(params["llava"]["llm"]["layers"][0]
+                   ["input_norm"]["scale"]), gamma0)
     got = llmseg.predict(params, cfg, batch)
     a = np.asarray(ref["pred_similarity"]).ravel()
     b = np.asarray(got["pred_similarity"]).ravel()
     assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_calibrate_quant_stats_multibatch_merge():
+    """An iterable of calibration batches merges by elementwise max: the
+    merged stats dominate each batch's own stats, and a duplicated batch
+    merges to exactly the single-batch stats.  Empty iterable -> None."""
+    from llmseg_tpu import config as C2
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg = C2.llmseg_tiny()
+    params = llmseg.init(jax.random.PRNGKey(0), cfg)
+    b1 = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    b2 = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32,
+                    seed=7)
+    s1 = llmseg.calibrate_quant_stats(params, cfg, b1)
+    s2 = llmseg.calibrate_quant_stats(params, cfg, b2)
+    merged = llmseg.calibrate_quant_stats(params, cfg, iter([b1, b2]))
+    for m, a, b in zip(merged, s1, s2):
+        for k in m:
+            np.testing.assert_array_equal(
+                np.asarray(m[k]),
+                np.maximum(np.asarray(a[k]), np.asarray(b[k])))
+    dup = llmseg.calibrate_quant_stats(params, cfg, iter([b1, b1]))
+    for m, a in zip(dup, s1):
+        for k in m:
+            np.testing.assert_array_equal(np.asarray(m[k]),
+                                          np.asarray(a[k]))
+    assert llmseg.calibrate_quant_stats(params, cfg, iter([])) is None
 
 
 def test_shared_activation_quant_matches_per_matmul():
