@@ -107,10 +107,31 @@ def main(argv=None):
                 val_batches(), max(args.calib_batches, 0)))
             smooth_stats = llmseg.calibrate_quant_stats(
                 trainer.params, cfg.model, calib, lora_cfg=lora_cfg)
+        # the live LoRA overlay MUST ride through the fold so it is
+        # compensated (a rows *= s_attn, v-b cols /= s_o) — an
+        # uncompensated adapter on the folded base is silently wrong
+        # (ADVICE r4 high).  trainer.params builds fresh containers, so
+        # the compensated leaves are written back into the flat
+        # trainable dict afterwards.
+        lora_tree = trainer.params.get("lora") if smooth_stats else None
         quant.quantize_llama_inplace(trainer.skeleton["llava"]["llm"],
                                      bits=4 if args.load_4bit else 8,
                                      w8a8=args.w8a8,
-                                     smooth_stats=smooth_stats)
+                                     smooth_stats=smooth_stats,
+                                     lora=lora_tree,
+                                     head_dim=cfg.model.llava.llm.head_dim)
+        if lora_tree is not None:
+            def _writeback(node, path):
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        _writeback(v, path + (str(k),))
+                elif isinstance(node, (list, tuple)):
+                    for i, v in enumerate(node):
+                        _writeback(v, path + (str(i),))
+                else:
+                    trainer.trainable["/".join(path)] = node
+
+            _writeback(lora_tree, ("lora",))
 
     if args.eval_only:
         vis = os.path.join(cfg.train.log_dir, "eval_vis") \

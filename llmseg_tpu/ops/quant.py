@@ -212,23 +212,41 @@ def _smooth_scales(a_max, w_max, alpha: float) -> jnp.ndarray:
     """SmoothQuant per-input-channel migration strength:
     s_j = a_max_j^alpha / w_max_j^(1-alpha).  s>1 shrinks an activation
     outlier column (and magnifies its weight row); clipping keeps dead
-    channels and degenerate stats from exploding either side."""
-    a = jnp.maximum(jnp.asarray(a_max, jnp.float32), 1e-5)
-    w = jnp.maximum(jnp.asarray(w_max, jnp.float32), 1e-5)
-    return jnp.clip(a ** alpha / w ** (1.0 - alpha), 1e-3, 1e3)
+    channels and degenerate stats from exploding either side.  A site with
+    DEGENERATE calibration stats (non-finite, or every activation column
+    below noise — e.g. the calibration batch never lit the site up) opts
+    out entirely (s = ones): smoothing there has no outliers to migrate
+    and a garbage s would only waste weight-quant resolution."""
+    a = jnp.asarray(a_max, jnp.float32)
+    w = jnp.asarray(w_max, jnp.float32)
+    ok = (jnp.all(jnp.isfinite(a)) & jnp.all(jnp.isfinite(w))
+          & (jnp.max(a) > 1e-4) & (jnp.max(w) > 1e-8))
+    s = jnp.clip(jnp.maximum(a, 1e-5) ** alpha
+                 / jnp.maximum(w, 1e-5) ** (1.0 - alpha), 1e-3, 1e3)
+    return jnp.where(ok, s, jnp.ones_like(s))
 
 
-def llama_smooth_plan(llm_params: Dict, stats, alpha: float | None = None):
+def llama_smooth_plan(llm_params: Dict, stats, alpha: float | None = None,
+                      head_dim: int | None = None):
     """Per-layer static-fold vectors from calibration stats.  `stats` is the
     per-layer list from llama.apply(quant_stats=...) /
     llmseg.calibrate_quant_stats: dicts with 'attn_in' (q/k/v shared
     input), 'o_in', 'mlp_in' (gate/up shared), 'down_in' column maxima.
     Shared-input groups get ONE s computed from the max |w| across the
     group (their producer — the rmsnorm gamma — is shared, so it must be).
-    Returns one {'attn', 'o', 'mlp', 'down'} dict of fp32 s vectors per
-    layer; 'o' is None under GQA (num_kv_heads < num_heads: a v output
-    column feeds several o input channels after the head repeat, so no
-    exact static fold exists — the o site is left unsmoothed there).
+
+    Returns one {'attn', 'o', 'o_rows', 'mlp', 'down'} dict of fp32 s
+    vectors per layer.  'o' is at V-COLUMN granularity (divides v output
+    columns), 'o_rows' is the same scales expanded to o-input-row
+    granularity (multiplies o weight rows) — identical under MHA.  Under
+    GQA one v column feeds `rep = num_heads/num_kv_heads` o input channels
+    (the head repeat), so an exact fold needs ONE scale per kv-shared
+    group: s is computed from the group max of both the activation stat
+    and the o row |w| max, then folded into the v column and ALL `rep`
+    matching o rows — exact, because the repeated channels carry the same
+    v value.  The grouping needs `head_dim`; without it GQA falls back to
+    skipping the o site ('o' is None) as before.
+
     lm_head has no calibration site and stays unsmoothed (its input, the
     final-norm hidden state, also feeds the unquantized selection head)."""
     alpha = W8A8_SMOOTH_ALPHA if alpha is None else alpha
@@ -240,11 +258,27 @@ def llama_smooth_plan(llm_params: Dict, stats, alpha: float | None = None):
                                          wmax(a["k"]["w"])),
                              wmax(a["v"]["w"]))
         wm_gu = jnp.maximum(wmax(m["gate"]["w"]), wmax(m["up"]["w"]))
-        mha = a["o"]["w"].shape[0] == a["v"]["w"].shape[1]
+        o_in, v_out = a["o"]["w"].shape[0], a["v"]["w"].shape[1]
+        rep = o_in // v_out
+        if rep == 1:
+            s_o = _smooth_scales(stats[i]["o_in"], wmax(a["o"]["w"]), alpha)
+            s_o_rows = s_o
+        elif head_dim is not None:
+            n_kv = v_out // head_dim
+            grp = lambda v: jnp.max(                # noqa: E731
+                jnp.asarray(v, jnp.float32).reshape(n_kv, rep, head_dim),
+                axis=1).reshape(-1)
+            s_o = _smooth_scales(grp(stats[i]["o_in"]),
+                                 grp(wmax(a["o"]["w"])), alpha)
+            s_o_rows = jnp.broadcast_to(
+                s_o.reshape(n_kv, 1, head_dim),
+                (n_kv, rep, head_dim)).reshape(-1)
+        else:
+            s_o = s_o_rows = None
         plan.append({
             "attn": _smooth_scales(stats[i]["attn_in"], wm_qkv, alpha),
-            "o": (_smooth_scales(stats[i]["o_in"], wmax(a["o"]["w"]), alpha)
-                  if mha else None),
+            "o": s_o,
+            "o_rows": s_o_rows,
             "mlp": _smooth_scales(stats[i]["mlp_in"], wm_gu, alpha),
             "down": _smooth_scales(stats[i]["down_in"], wmax(m["down"]["w"]),
                                    alpha),
@@ -254,14 +288,15 @@ def llama_smooth_plan(llm_params: Dict, stats, alpha: float | None = None):
 
 def fold_smooth_llama_inplace(llm_params: Dict, smooth_stats,
                               alpha: float | None = None,
-                              donate: bool = True) -> Dict:
+                              donate: bool = True, lora: Dict | None = None,
+                              head_dim: int | None = None) -> Dict:
     """Fold SmoothQuant scaling STATICALLY into the live bf16 tree, in
     place, BEFORE quantization — an exact function-preserving
     reparameterization (same outputs in exact arithmetic):
 
       input_norm gamma /= s_attn;  q/k/v weight rows *= s_attn
       post_norm  gamma /= s_mlp;   gate/up weight rows *= s_mlp
-      v columns (+bias) /= s_o;    o weight rows *= s_o
+      v columns (+bias) /= s_o;    o weight rows *= s_o_rows
       up columns (+bias) /= s_down; down weight rows *= s_down
 
     Each 1/s lands in whatever PRODUCES the quantized matmul's input, so
@@ -269,11 +304,25 @@ def fold_smooth_llama_inplace(llm_params: Dict, smooth_stats,
     zero inference cost, no extra leaves.  The v/o and up/down folds are
     exact because a v (resp. up) output column feeds exactly one o (resp.
     down) input channel — attention mixes tokens with scalar weights and
-    the MLP product is elementwise.  Under GQA the o site is skipped (see
-    llama_smooth_plan).  donate=False when the leaf buffers are shared
-    with another live tree (the functional quantize_llama path) — donation
-    would invalidate the caller's arrays."""
-    plan = llama_smooth_plan(llm_params, smooth_stats, alpha)
+    the MLP product is elementwise.  Under GQA, kv-group-shared o scales
+    make the fold exact there too, given `head_dim` (see
+    llama_smooth_plan); without head_dim GQA skips the o site.
+
+    `lora`: a live LoRA overlay tree (llama.lora_init layout) that will be
+    APPLIED AT INFERENCE on top of the folded base — it MUST be passed so
+    the overlay is compensated, also exactly and in place:
+
+      q/v lora 'a' rows *= s_attn   (its input is the folded x/s_attn)
+      v   lora 'b' cols /= s_o      (the o rows multiply s_o back later)
+
+    Without this, LoRA-q/v see a per-channel-attenuated input and the
+    LoRA-v delta gets amplified by s_o downstream — silently wrong outputs
+    on the --load_8bit/--load_4bit + adapter eval path.
+
+    donate=False when the leaf buffers are shared with another live tree
+    (the functional quantize_llama path) — donation would invalidate the
+    caller's arrays."""
+    plan = llama_smooth_plan(llm_params, smooth_stats, alpha, head_dim)
     dn = (0,) if donate else ()
     rows = jax.jit(lambda w, s: (w.astype(jnp.float32)
                                  * s[:, None]).astype(w.dtype),
@@ -282,9 +331,13 @@ def fold_smooth_llama_inplace(llm_params: Dict, smooth_stats,
                                            * sr[:, None]
                                            / sc[None, :]).astype(w.dtype),
                         donate_argnums=dn)
+    cols_div = jax.jit(lambda w, s: (w.astype(jnp.float32)
+                                     / s[None, :]).astype(w.dtype),
+                       donate_argnums=dn)
     vdiv = jax.jit(lambda g, s: (g.astype(jnp.float32) / s).astype(g.dtype),
                    donate_argnums=dn)
-    for layer, e in zip(llm_params["layers"], plan):
+    lora_layers = (lora or {}).get("layers", [None] * len(plan))
+    for layer, e, ll in zip(llm_params["layers"], plan, lora_layers):
         a, m = layer["attn"], layer["mlp"]
         layer["input_norm"]["scale"] = vdiv(layer["input_norm"]["scale"],
                                             e["attn"])
@@ -296,7 +349,17 @@ def fold_smooth_llama_inplace(llm_params: Dict, smooth_stats,
             a["v"]["w"] = rows_cols(a["v"]["w"], e["attn"], e["o"])
             if "b" in a["v"]:
                 a["v"]["b"] = vdiv(a["v"]["b"], e["o"])
-            a["o"]["w"] = rows(a["o"]["w"], e["o"])
+            a["o"]["w"] = rows(a["o"]["w"], e["o_rows"])
+        if ll:
+            unknown = set(ll) - {"q", "v"}
+            assert not unknown, (
+                f"LoRA targets {unknown} have no SmoothQuant compensation; "
+                "extend fold_smooth_llama_inplace before folding")
+            for name in ("q", "v"):
+                if name in ll:
+                    ll[name]["a"] = rows(ll[name]["a"], e["attn"])
+            if "v" in ll and e["o"] is not None:
+                ll["v"]["b"] = cols_div(ll["v"]["b"], e["o"])
         layer["post_norm"]["scale"] = vdiv(layer["post_norm"]["scale"],
                                            e["mlp"])
         m["gate"]["w"] = rows(m["gate"]["w"], e["mlp"])
@@ -343,7 +406,8 @@ def _llama_pred(path):
 
 
 def quantize_llama(llm_params: Dict, bits: int = 8, w8a8: bool = False,
-                   smooth_stats=None, alpha: float | None = None) -> Dict:
+                   smooth_stats=None, alpha: float | None = None,
+                   head_dim: int | None = None) -> Dict:
     """Quantize LLaMA projection weights; embeddings and norms stay full
     precision (embedding rows are gathered, not matmul'd).  smooth_stats
     (per-layer calibration column maxima, llmseg.calibrate_quant_stats)
@@ -352,19 +416,26 @@ def quantize_llama(llm_params: Dict, bits: int = 8, w8a8: bool = False,
     weight-only int4 (weaker default alpha, W4_SMOOTH_ALPHA); weight-only
     int8's quant error is already negligible, so stats are ignored there.
     The input tree is never mutated (the fold runs on fresh containers,
-    without buffer donation)."""
+    without buffer donation).
+
+    If a LoRA overlay will be applied at inference on top of the quantized
+    base, use quantize_llama_inplace(lora=...) (or call
+    fold_smooth_llama_inplace(lora=...) yourself): with smooth_stats an
+    UNCOMPENSATED overlay on the folded base is silently wrong."""
     if smooth_stats is not None and (w8a8 or bits == 4):
         if alpha is None and not w8a8:
             alpha = W4_SMOOTH_ALPHA
         llm_params = jax.tree.map(lambda x: x, llm_params)
         fold_smooth_llama_inplace(llm_params, smooth_stats, alpha,
-                                  donate=False)
+                                  donate=False, head_dim=head_dim)
     return quantize_tree(llm_params, _llama_pred, bits=bits, w8a8=w8a8)
 
 
 def quantize_llama_inplace(llm_params: Dict, bits: int = 8,
                            w8a8: bool = False, smooth_stats=None,
-                           alpha: float | None = None) -> Dict:
+                           alpha: float | None = None,
+                           lora: Dict | None = None,
+                           head_dim: int | None = None) -> Dict:
     """In-place variant for memory-tight live trees (7B bf16 weights are
     13.5 GB of a 16 GB chip: building a second quantized tree while the
     first is still referenced would OOM).  Mutates the dicts leaf by leaf,
@@ -372,11 +443,16 @@ def quantize_llama_inplace(llm_params: Dict, bits: int = 8,
     HBM is one layer's weights, not the whole model's.  Donating the source
     buffer into the jitted per-leaf quantizer lets XLA reuse it.  With
     smooth_stats, the calibration fold runs first, also in place with
-    donated buffers (peak extra HBM: one leaf)."""
+    donated buffers (peak extra HBM: one leaf).  `lora`: the live LoRA
+    overlay that will be applied at inference — REQUIRED whenever one
+    exists and smooth_stats is given, so the fold compensates it (see
+    fold_smooth_llama_inplace); `head_dim` enables the exact GQA o-site
+    fold."""
     if smooth_stats is not None and (w8a8 or bits == 4):
         if alpha is None and not w8a8:
             alpha = W4_SMOOTH_ALPHA
-        fold_smooth_llama_inplace(llm_params, smooth_stats, alpha)
+        fold_smooth_llama_inplace(llm_params, smooth_stats, alpha,
+                                  lora=lora, head_dim=head_dim)
     qfn = jax.jit(_pick_qfn(bits, w8a8), donate_argnums=0)
 
     def walk(node, path):

@@ -406,13 +406,17 @@ def test_fold_smooth_llama_is_function_preserving():
     np.testing.assert_allclose(h_fold, h_ref, rtol=2e-4, atol=2e-5)
 
 
-def test_fold_smooth_llama_gqa_skips_o_site():
-    """Under GQA a v output column feeds several o input channels, so no
-    exact static o-fold exists: the plan must skip it (o weights
-    untouched, v gets rows-only scaling) and stay function-preserving."""
-    cfg = C.LlamaConfig(vocab_size=256, hidden_size=64,
-                        intermediate_size=128, num_layers=2, num_heads=4,
-                        num_kv_heads=2, head_dim=16, max_seq_len=512)
+def _gqa_cfg():
+    return C.LlamaConfig(vocab_size=256, hidden_size=64,
+                         intermediate_size=128, num_layers=2, num_heads=4,
+                         num_kv_heads=2, head_dim=16, max_seq_len=512)
+
+
+def test_fold_smooth_llama_gqa_skips_o_site_without_head_dim():
+    """Without head_dim the GQA grouping is unknowable from the 2D weights,
+    so the plan must skip the o site (o weights untouched, v rows-only
+    scaling) and stay function-preserving — the conservative fallback."""
+    cfg = _gqa_cfg()
     params = llama.init(jax.random.PRNGKey(0), cfg)
     ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
     h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids))
@@ -429,6 +433,188 @@ def test_fold_smooth_llama_gqa_skips_o_site():
         np.asarray(params["layers"][0]["attn"]["o"]["w"]))
     h_fold = np.asarray(llama.apply(folded, cfg, input_ids=ids))
     np.testing.assert_allclose(h_fold, h_ref, rtol=2e-4, atol=2e-5)
+
+
+def test_fold_smooth_llama_gqa_o_fold_with_head_dim():
+    """With head_dim, GQA gets an exact o-site fold via kv-group-shared
+    scales (ADVICE r4: one s per v column, folded into the v column and
+    all `rep` repeated o rows): o weights must move, the per-group o-row
+    scales must be constant across the repeat, and the fold must stay
+    function-preserving."""
+    cfg = _gqa_cfg()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids))
+
+    stats: list = []
+    llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+    plan = quant.llama_smooth_plan(params, stats, head_dim=cfg.head_dim)
+    rep = cfg.num_heads // cfg.num_kv_heads
+    for e in plan:
+        assert e["o"].shape == (cfg.num_kv_heads * cfg.head_dim,)
+        o_rows = np.asarray(e["o_rows"]).reshape(cfg.num_kv_heads, rep,
+                                                 cfg.head_dim)
+        for r in range(1, rep):   # shared across the head repeat
+            np.testing.assert_array_equal(o_rows[:, r], o_rows[:, 0])
+
+    folded = jax.tree.map(lambda x: x, params)
+    quant.fold_smooth_llama_inplace(folded, stats, donate=False,
+                                    head_dim=cfg.head_dim)
+    assert not np.allclose(
+        np.asarray(folded["layers"][0]["attn"]["o"]["w"]),
+        np.asarray(params["layers"][0]["attn"]["o"]["w"]))
+    h_fold = np.asarray(llama.apply(folded, cfg, input_ids=ids))
+    np.testing.assert_allclose(h_fold, h_ref, rtol=2e-4, atol=2e-5)
+
+
+def _nonzero_lora(key, cfg, lcfg, scale=0.2):
+    """lora_init but with nonzero B so the overlay actually contributes."""
+    lora = llama.lora_init(key, cfg, lcfg)
+    for i, layer in enumerate(lora["layers"]):
+        for name, leaf in layer.items():
+            kb = jax.random.fold_in(jax.random.fold_in(key, 1000 + i),
+                                    hash(name) % (2 ** 31))
+            leaf["b"] = jax.random.normal(kb, leaf["b"].shape,
+                                          jnp.float32) * scale
+    return lora
+
+
+def test_fold_smooth_compensates_lora_overlay():
+    """The high-severity ADVICE r4 finding: a LoRA overlay applied at
+    inference on a folded base must be compensated by the fold (a rows *=
+    s_attn; v-b cols /= s_o), exactly — forward with (folded base, folded
+    lora) equals forward with (original base, original lora), for both MHA
+    and GQA.  Also demonstrates the bug: the UNcompensated overlay on the
+    folded base diverges."""
+    for cfg in (C.llama_tiny(), _gqa_cfg()):
+        lcfg = C.LoraConfig(rank=4)
+        params = llama.init(jax.random.PRNGKey(0), cfg)
+        lora = _nonzero_lora(jax.random.PRNGKey(1), cfg, lcfg)
+        ids = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 4, 200)
+        h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids,
+                                       lora=lora, lora_cfg=lcfg))
+
+        stats: list = []
+        llama.apply(params, cfg, input_ids=ids, lora=lora, lora_cfg=lcfg,
+                    quant_stats=stats)
+        folded = jax.tree.map(lambda x: x, params)
+        folded_lora = jax.tree.map(lambda x: x, lora)
+        quant.fold_smooth_llama_inplace(folded, stats, donate=False,
+                                        lora=folded_lora,
+                                        head_dim=cfg.head_dim)
+        # lora was actually compensated
+        assert not np.allclose(
+            np.asarray(folded_lora["layers"][0]["q"]["a"]),
+            np.asarray(lora["layers"][0]["q"]["a"]))
+
+        h_comp = np.asarray(llama.apply(folded, cfg, input_ids=ids,
+                                        lora=folded_lora, lora_cfg=lcfg))
+        np.testing.assert_allclose(h_comp, h_ref, rtol=2e-4, atol=2e-5)
+
+        # the bug being fixed: the raw overlay on the folded base is wrong
+        h_buggy = np.asarray(llama.apply(folded, cfg, input_ids=ids,
+                                         lora=lora, lora_cfg=lcfg))
+        assert np.abs(h_buggy - h_ref).max() > 100 * np.abs(
+            h_comp - h_ref).max()
+
+
+def test_quantize_llama_inplace_lora_w8a8_predict():
+    """The cli/train.py --eval_only --load_8bit --w8a8 + adapter path at
+    model level: calibrate WITH the lora overlay, quantize in place with
+    lora compensation, and require the quantized+adapter predict to track
+    the bf16+adapter reference."""
+    from llmseg_tpu import config as C2
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+
+    cfg = C2.llmseg_tiny()
+    lcfg = C.LoraConfig(rank=4)
+    params = llmseg.init(jax.random.PRNGKey(0), cfg, lora_cfg=lcfg)
+    params["lora"] = _nonzero_lora(jax.random.PRNGKey(5), cfg.llava.llm,
+                                   lcfg)
+    batch = make_batch(cfg, num_images=1, rows_per_image=1, text_len=32)
+    ref = llmseg.predict(params, cfg, batch, lora_cfg=lcfg)
+    stats = llmseg.calibrate_quant_stats(params, cfg, batch, lora_cfg=lcfg)
+    quant.quantize_llama_inplace(params["llava"]["llm"], bits=8, w8a8=True,
+                                 smooth_stats=stats, lora=params["lora"],
+                                 head_dim=cfg.llava.llm.head_dim)
+    got = llmseg.predict(params, cfg, batch, lora_cfg=lcfg)
+    a = np.asarray(ref["pred_similarity"]).ravel()
+    b = np.asarray(got["pred_similarity"]).ravel()
+    assert np.corrcoef(a, b)[0, 1] > 0.99
+
+
+def test_smooth_scales_degenerate_stats_opt_out():
+    """Degenerate calibration stats (all-zero site, or non-finite) must
+    opt the site out (s = ones) instead of folding garbage."""
+    w_max = np.abs(np.random.RandomState(0).randn(32)) + 0.1
+    np.testing.assert_array_equal(
+        np.asarray(quant._smooth_scales(np.zeros(32), w_max, 0.5)),
+        np.ones(32))
+    bad = np.ones(32)
+    bad[3] = np.nan
+    np.testing.assert_array_equal(
+        np.asarray(quant._smooth_scales(bad, w_max, 0.5)), np.ones(32))
+    # healthy stats still produce a real fold
+    s = np.asarray(quant._smooth_scales(np.abs(
+        np.random.RandomState(1).randn(32)) + 0.5, w_max, 0.5))
+    assert not np.allclose(s, 1.0)
+
+
+def test_fold_with_degenerate_stats_is_noop():
+    """All-zero calibration stats (a site the calibration batch never lit
+    up) must leave every weight bit-identical — the per-site opt-out end
+    to end."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    stats: list = []
+    llama.apply(params, cfg, quant_stats=stats,
+                input_ids=jax.random.randint(jax.random.PRNGKey(1),
+                                             (1, 8), 4, 200))
+    zero_stats = [{k: np.zeros_like(np.asarray(v)) for k, v in st.items()}
+                  for st in stats]
+    folded = jax.tree.map(lambda x: x, params)
+    quant.fold_smooth_llama_inplace(folded, zero_stats, donate=False,
+                                    head_dim=cfg.head_dim)
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), folded, params)
+
+
+def test_smoothquant_alpha_sweep_robustness():
+    """VERDICT r4 #8: the quality/exactness conclusions must hold across
+    alpha in {0.25, 0.5, 0.75}, so the single alpha=0.5 default is not
+    load-bearing.  (a) the fold stays function-preserving at every alpha;
+    (b) on the injected-outlier harness, smoothing beats plain W8A8 at
+    every alpha."""
+    cfg = C.llama_tiny()
+    params = llama.init(jax.random.PRNGKey(0), cfg)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 4, 200)
+    h_ref = np.asarray(llama.apply(params, cfg, input_ids=ids))
+    stats: list = []
+    llama.apply(params, cfg, input_ids=ids, quant_stats=stats)
+
+    rs = np.random.RandomState(0)
+    x, w = _outlier_xw(rs)
+    ref = x @ w
+    err_plain = np.abs(np.asarray(quant.qdense(
+        quant.quantize_dense_w8a8({"w": jnp.asarray(w)}),
+        jnp.asarray(x))) - ref).max() / np.abs(ref).max()
+
+    for alpha in (0.25, 0.5, 0.75):
+        folded = jax.tree.map(lambda x_: x_, params)
+        quant.fold_smooth_llama_inplace(folded, stats, alpha=alpha,
+                                        donate=False,
+                                        head_dim=cfg.head_dim)
+        h_fold = np.asarray(llama.apply(folded, cfg, input_ids=ids))
+        np.testing.assert_allclose(h_fold, h_ref, rtol=3e-4, atol=3e-5)
+
+        s = np.asarray(quant._smooth_scales(np.abs(x).max(0),
+                                            np.abs(w).max(1), alpha))
+        smooth = np.asarray(quant.qdense(
+            quant.quantize_dense_w8a8({"w": jnp.asarray(w * s[:, None])}),
+            jnp.asarray(x / s)))
+        err_smooth = np.abs(smooth - ref).max() / np.abs(ref).max()
+        assert err_smooth * 2 < err_plain, (alpha, err_smooth, err_plain)
 
 
 def test_llama_calibrated_smooth_quant_forward():
