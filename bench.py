@@ -60,6 +60,8 @@ COLD_PROBE_S = 420       # cold backend init through the tunnel: 3-4 min
 TOWERS = ("dino", "clip", "llama", "select_head")
 LAST_GOOD_PATH = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), ".bench_last_good.json")
+HISTORY_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), ".bench_history.jsonl")
 # A backend emitting these during INIT is down, not busy; retrying a full
 # lane against it wedges harder (observed 2026-08-17: 45 min - 4 h).
 OUTAGE_SIGNATURES = ("Unable to initialize backend", "UNAVAILABLE")
@@ -254,7 +256,8 @@ def run(config_name: str, quant_bits: int | None = None,
         t0 = time.perf_counter()
         quant.quantize_llama_inplace(params["llava"]["llm"],
                                      bits=quant_bits, w8a8=w8a8,
-                                     smooth_stats=smooth_stats)
+                                     smooth_stats=smooth_stats,
+                                     head_dim=cfg.llava.llm.head_dim)
         jax.block_until_ready(params["llava"]["llm"])
         log(f"bench: int{quant_bits}{'-w8a8' if w8a8 else ''} "
             f"quantization {time.perf_counter() - t0:.1f}s")
@@ -376,7 +379,8 @@ def run_valloop(config_name: str, val_batch: int = 8, n_images: int = 48,
         quant.quantize_llama_inplace(
             params["llava"]["llm"], bits=quant_bits, w8a8=w8a8,
             smooth_stats=_maybe_calibrate(params, cfg, w8a8, dtype,
-                                          TEXT_LEN))
+                                          TEXT_LEN),
+            head_dim=cfg.llava.llm.head_dim)
         jax.block_until_ready(params["llava"]["llm"])
     step = jax.jit(make_eval_step(cfg))
     rng = np.random.RandomState(0)
@@ -407,6 +411,180 @@ def run_valloop(config_name: str, val_batch: int = 8, n_images: int = 48,
     return ips
 
 
+def run_amg(n_images: int = 16, survivors: int = 64, model: str = "vit_h",
+            points_per_side: int = 32):
+    """AMG extraction throughput (BASELINE configs[0]/[1]; VERDICT r4 #3):
+    SAM ViT-H everything-mode over synthetic images through the SAME
+    pipelined submit/prefetch/finish path as cli/prepare.py (reference hot
+    path prepare_datasets/prepare_ReasonSeg.py:55-116 ->
+    automatic_mask_generator.py:126-321).  Random weights produce no
+    realistic detections, so the IoU/stability gates are opened and
+    max_masks capped at `survivors` — giving every image the full
+    K-survivor host load (upscale + download + RLE) that dominates the
+    pipelined cost.
+
+    Survivor CONTENT is pinned to trained-SAM mask statistics: random
+    weights emit salt-and-pepper logits whose thresholded masks overflow
+    the device-RLE run budget (MAX_RUNS_PER_COL) on every column, forcing
+    the 8.4 MB bit-packed fallback + host speckle-RLE for all K masks —
+    a workload no trained SAM produces (measured 788 ms/image, 4x the
+    real load).  After each submit the lane swaps `masks_low` for fixed
+    blobby ellipse logits (1-2 threshold crossings per column, one
+    device-resident array reused across images, zero per-image upload);
+    encode + select still run in full on the real program.
+    Reports images/s."""
+    import numpy as np
+
+    import jax
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.models.sam import amg as amg_lib
+    from llmseg_tpu.models.sam import sam as sam_lib
+
+    _setup("llmseg_7b")      # cache + backend log only; SAM has its own cfg
+    import jax.numpy as jnp
+
+    cfg = (sam_lib.MODEL_REGISTRY[model]() if model in sam_lib.MODEL_REGISTRY
+           else getattr(C, f"sam_{model}")())
+    t0 = time.perf_counter()
+    params = jax.jit(lambda k: sam_lib.init(k, cfg, dtype=jnp.bfloat16))(
+        jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    log(f"bench: sam init {time.perf_counter() - t0:.1f}s")
+    # gates opened so RANDOM weights still carry a full K-survivor load:
+    # random nets emit near-identical full-extent boxes, so a real NMS
+    # threshold would collapse everything to ~1 survivor and the lane
+    # would measure the 0-survivor pipeline instead; box IoU <= 1 < 1.1
+    # means NMS keeps all, and top-K caps at exactly `survivors`
+    amg_cfg = C.AMGConfig(points_per_side=points_per_side,
+                          pred_iou_thresh=-1e9, stability_score_thresh=-1.0,
+                          box_nms_thresh=1.1, max_masks=survivors)
+    gen = amg_lib.AutomaticMaskGenerator(params, cfg, amg_cfg)
+
+    rs = np.random.RandomState(0)
+    # structured synthetic frames (blobby, not white noise) at the
+    # reference's longest-side-1024 prep size (3:4 of the encoder input);
+    # vary per image so nothing is constant-folded or host-cached
+    W = cfg.encoder.img_size
+    H = W * 3 // 4
+    base = (rs.rand(12, 16, 3) * 255)
+    cell = -(-W // 16)
+    imgs = []
+    for i in range(n_images):
+        lo = np.roll(base, i, axis=0)
+        img = np.kron(lo, np.ones((cell, cell, 1)))[:H, :W]
+        imgs.append(np.clip(img + rs.randn(H, W, 3) * 8, 0,
+                            255).astype(np.uint8))
+
+    # build the blobby survivor logits once, shaped/typed off a probe
+    # submit (masks_low is (K, S, S) low-res logits)
+    probe = gen.submit(imgs[0])
+    ml = probe["out"]["masks_low"]
+    K, S = int(ml.shape[0]), int(ml.shape[-1])
+    yy, xx = (np.mgrid[0:S, 0:S].astype(np.float32) + 0.5) / S
+    rb = np.random.RandomState(1)
+    cx, cy = rb.rand(2, K) * 0.7 + 0.15
+    rx, ry = rb.rand(2, K) * 0.18 + 0.06
+    d2 = (((xx[None] - cx[:, None, None]) / rx[:, None, None]) ** 2
+          + ((yy[None] - cy[:, None, None]) / ry[:, None, None]) ** 2)
+    blobby = jax.device_put(
+        (cfg.mask_threshold + 8.0 * (1.0 - d2)).astype(ml.dtype))
+    probe["out"] = dict(probe["out"], masks_low=blobby)
+    gen.finish(probe)
+
+    def pipeline(images):
+        n_masks = 0
+        pending = None
+        for img in images:
+            if pending is not None:
+                gen.prefetch(pending)
+            handle = gen.submit(img)
+            handle["out"] = dict(handle["out"], masks_low=blobby)
+            if pending is not None:
+                n_masks += len(gen.finish(pending))
+            pending = handle
+        n_masks += len(gen.finish(pending))
+        return n_masks
+
+    t0 = time.perf_counter()
+    warm_masks = pipeline(imgs[:2])      # compile (encoder + select + rle)
+    log(f"bench: amg warmup {time.perf_counter() - t0:.1f}s "
+        f"({warm_masks / 2:.0f} survivors/image)")
+    t0 = time.perf_counter()
+    n_masks = pipeline(imgs)
+    dt = time.perf_counter() - t0
+    ips = n_images / dt
+    log(f"bench: amg {n_images} images in {dt:.2f}s = {ips:.2f} img/s "
+        f"({dt / n_images * 1e3:.0f} ms/image, "
+        f"{n_masks / n_images:.0f} survivors/image)")
+    return ips, n_masks / n_images
+
+
+def run_trainstep(config_name: str, text_len: int = 512):
+    """Single-chip QLoRA train-step time (BASELINE configs[4]; VERDICT r4
+    #5): 7B with int8 frozen base, LoRA + embeds/heads trainable,
+    remat_policy='dots', donated buffers, 1 image / 1 conversation row —
+    the 215 ms/step configuration from COMPONENTS.md, now driver-visible.
+    Reports ms/step.  The reference's only training observability is
+    secs/batch (training.py:571-573)."""
+    import jax
+
+    from llmseg_tpu import config as C
+    from llmseg_tpu.data.synthetic import make_batch
+    from llmseg_tpu.models import llmseg
+    from llmseg_tpu.parallel import mesh as M
+    from llmseg_tpu.train import optim, train_step as ts_lib
+
+    cfg, dtype = _setup(config_name)
+    tcfg = C.TrainConfig(quantize_frozen=True, quantize_bits=8,
+                         remat_policy="dots", grad_accum_steps=1)
+    lora_cfg = tcfg.lora
+    mesh = M.make_mesh(C.MeshConfig(data=1, fsdp=1, tensor=1))
+
+    with mesh:
+        # quantize INSIDE the init jit: eager quantization would hold the
+        # bf16 and int8 trees simultaneously and OOM the 16 GB chip
+        def init_all(k):
+            params = llmseg.init(k, cfg, dtype=dtype, lora_cfg=lora_cfg)
+            trainable, skeleton = optim.partition(params)
+            return trainable, optim.quantize_skeleton(
+                skeleton, bits=tcfg.quantize_bits)
+
+        t0 = time.perf_counter()
+        trainable, skeleton = jax.jit(init_all)(jax.random.PRNGKey(0))
+        jax.block_until_ready(trainable)
+        log(f"bench: qlora init {time.perf_counter() - t0:.1f}s")
+        tx = optim.make_trainable_optimizer(tcfg)
+        opt_state = jax.jit(tx.init)(trainable)
+        step = ts_lib.make_partitioned_train_step(
+            cfg, tx, lora_cfg=lora_cfg, remat=tcfg.remat_policy)
+        jstep = jax.jit(step, donate_argnums=(0, 2))
+        batch = make_batch(cfg, num_images=1, rows_per_image=1,
+                           text_len=text_len, dtype=dtype)
+
+        t0 = time.perf_counter()
+        trainable, opt_state, metrics = jstep(trainable, skeleton,
+                                              opt_state, batch)
+        loss = float(metrics["loss"])
+        log(f"bench: trainstep compile {time.perf_counter() - t0:.1f}s "
+            f"(loss {loss:.3f})")
+        iters, ts = 8, []
+        for _ in range(3):
+            outs = []
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                trainable, opt_state, metrics = jstep(trainable, skeleton,
+                                                      opt_state, batch)
+                outs.append(metrics["loss"])
+            for o in outs:      # tunnel sync (block_until_ready lies here)
+                float(o)
+            ts.append(time.perf_counter() - t0)
+        dt = min(ts) / iters
+        log(f"bench: trainstep {dt * 1e3:.1f} ms/step (qlora int8, "
+            f"remat=dots, text_len={text_len})")
+        return dt
+
+
 def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
     """Time ONE tower in a fresh process (VERDICT r2 weak #3: in-process
     tower scans at 7B OOM against the sweep's leftovers; isolating each
@@ -428,7 +606,8 @@ def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
         quant.quantize_llama_inplace(
             params["llava"]["llm"], bits=quant_bits, w8a8=w8a8,
             smooth_stats=_maybe_calibrate(params, cfg, w8a8, dtype,
-                                          TEXT_LEN))
+                                          TEXT_LEN),
+            head_dim=cfg.llava.llm.head_dim)
         jax.block_until_ready(params["llava"]["llm"])
     batch = make_batch(cfg, num_images=1, rows_per_image=1,
                        text_len=TEXT_LEN, dtype=dtype)
@@ -668,23 +847,65 @@ def _read_last_good():
     return None
 
 
+def _git_commit():
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=10,
+            cwd=os.path.dirname(os.path.abspath(__file__))
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _write_last_good(line):
     """Bank the headline, keeping the BEST measured value.  Monotonic on
     purpose: the bank only feeds the outage fallback tag, and a degraded
     run (observed 2026-08-19: the W8A8 lane lost to a post-lane backend
     wedge, leaving only bf16 8.98) must not erase a better known-good
-    (12.16 W8A8).  Real regressions are visible in the per-round
-    BENCH_r*.json records, not here."""
+    (12.16 W8A8).  Regression awareness (VERDICT r4 #7 + ADVICE r4):
+    every run's headline is appended, commit-stamped, to
+    .bench_history.jsonl — the round-over-round record — and the banked
+    entry carries the commit + timestamp that produced it, so a stale
+    bank is attributable."""
     try:
         d = json.loads(line)
+        if d.get("value", 0) <= 0:
+            return
+        d = dict(d, commit=_git_commit(), ts=int(time.time()))
+        with open(HISTORY_PATH, "a") as f:
+            json.dump(d, f)
+            f.write("\n")
         prev = _read_last_good()
-        if d.get("value", 0) > 0 and (prev is None
-                                      or d["value"] >= prev["value"]):
+        if prev is None or d["value"] >= prev["value"]:
             with open(LAST_GOOD_PATH, "w") as f:
                 json.dump(d, f)
                 f.write("\n")
     except Exception as e:
         log(f"bench: could not bank last-good headline: {e}")
+
+
+def _tag_regression(line, threshold: float = 0.9):
+    """Append a `regressed_from=` tag to the headline's metric when this
+    run's best lane lands >10% below the banked best (VERDICT r4 #7): the
+    monotonic bank then cannot silently misrepresent a degraded current
+    commit — the regression is visible in the recorded line itself."""
+    lg = _read_last_good()
+    if not lg or not line:
+        return line
+    try:
+        d = json.loads(line)
+        if d.get("value", 0) > 0 and d["value"] < threshold * lg["value"]:
+            d["metric"] = (f"{d['metric'][:-1]},regressed_from="
+                           f"{lg['value']}@{lg.get('commit', 'unknown')}]"
+                           if d["metric"].endswith("]") else
+                           f"{d['metric']},regressed_from={lg['value']}")
+            return json.dumps(d)
+    except Exception:
+        pass
+    return line
 
 
 def _fallback_line(reason):
@@ -725,14 +946,40 @@ def main():
     ap.add_argument("--valloop", action="store_true",
                     help="time the batched validation loop (val images/s)")
     ap.add_argument("--val_batch", type=int, default=8)
+    ap.add_argument("--amg", action="store_true",
+                    help="time SAM ViT-H everything-mode extraction "
+                         "(BASELINE configs[0]/[1]; pipelined, 64-survivor "
+                         "load)")
+    ap.add_argument("--trainstep", action="store_true",
+                    help="time the single-chip QLoRA train step "
+                         "(BASELINE configs[4])")
     args = ap.parse_args()
 
     if args.probe:
         run_probe()
         return
+    if args.amg:
+        try:
+            ips, surv = run_amg()
+            print(json.dumps({
+                "metric": (f"amg_images_per_sec[vit_h,pipelined,"
+                           f"{surv:.0f}_survivors]"),
+                "value": round(ips, 3), "unit": "images/s",
+                "vs_baseline": None}))
+            return
+        except Exception as e:
+            log(f"bench: amg failed: {type(e).__name__}: {e}")
+            sys.exit(1)
     if args.config:
         try:
-            if args.valloop:
+            if args.trainstep:
+                dt = run_trainstep(args.config)
+                print(json.dumps({
+                    "metric": (f"train_step_ms[{args.config},qlora_int8,"
+                               f"remat_dots,batch1]"),
+                    "value": round(dt * 1e3, 2), "unit": "ms",
+                    "vs_baseline": None}))
+            elif args.valloop:
                 ips = run_valloop(args.config, val_batch=args.val_batch,
                                   quant_bits=args.quant, w8a8=args.w8a8)
                 qt = (f",int{args.quant}{'-w8a8' if args.w8a8 else ''}"
@@ -776,7 +1023,10 @@ def _orchestrate():
     the bf16/int8 lanes' banked per-point lines straight through, and
     (c) re-printing the gated best-so-far headline after every lane."""
     t_start = time.monotonic()
-    DEADLINE_S = 4200
+    # budgeted against the MEASURED driver window (VERDICT r4 #2: r04's
+    # tail shows ~55 min wall with ~9 min lost to wedge retries; 4200 s
+    # produced rc=124 three rounds running) — finish and exit rc=0 first
+    DEADLINE_S = 3000
     flagship = "llmseg_7b"
 
     def time_left():
@@ -788,7 +1038,8 @@ def _orchestrate():
     lanes = {"bf16": None, "int8": None, "w8a8": None}
 
     def emit():
-        h = _pick_headline(lanes["bf16"], lanes["int8"], lanes["w8a8"])
+        h = _tag_regression(
+            _pick_headline(lanes["bf16"], lanes["int8"], lanes["w8a8"]))
         if h:
             print(h, flush=True)
         return h
@@ -812,7 +1063,7 @@ def _orchestrate():
     # bf16 lane below is the reference-supported backup.
     lanes["w8a8"] = _subprocess(
         ["--config", flagship, "--quant", "8", "--w8a8"],
-        timeout=min(3600, max(900, time_left())))
+        timeout=min(1800, max(900, time_left())))
     if lanes["w8a8"]:
         log(f"bench: RESULT {flagship} w8a8: {lanes['w8a8']}")
     emit()
@@ -826,7 +1077,7 @@ def _orchestrate():
             log("bench: backend down before bf16 lane; skipping")
             break
         lanes["bf16"] = _subprocess(["--config", flagship],
-                                    timeout=min(2400, max(900, time_left())),
+                                    timeout=min(1500, max(900, time_left())),
                                     stream=True)
         if lanes["bf16"]:
             log(f"bench: RESULT {flagship}: {lanes['bf16']}")
@@ -836,36 +1087,64 @@ def _orchestrate():
             time.sleep(RETRY_SLEEP_S)
     emit()
 
+    # BASELINE-config lanes run BEFORE the capacity sweep and tower
+    # diagnostics (VERDICT r4 #2/#3/#5): a short driver window must record
+    # the measured-config set first.  Each lane prints its own JSON line
+    # (streamed through), so a later kill keeps them; _pick_headline only
+    # considers e2e lanes, so these cannot displace the headline.
+
+    # batched validation loop rate (BASELINE configs[3])
+    if time_left() > 700 and _probe_with_retry(time_left):
+        vl = _subprocess(["--config", flagship, "--valloop",
+                          "--quant", "8", "--w8a8"],
+                         timeout=min(900, max(600, time_left())),
+                         stream=True)
+        if vl:
+            log(f"bench: RESULT valloop: {vl}")
+        emit()
+
+    # AMG extraction throughput (BASELINE configs[0]/[1])
+    if time_left() > 700 and _probe_with_retry(time_left):
+        am = _subprocess(["--amg"],
+                         timeout=min(1100, max(600, time_left())),
+                         stream=True)
+        if am:
+            log(f"bench: RESULT amg: {am}")
+        emit()
+
+    # single-chip QLoRA train-step time (BASELINE configs[4])
+    if time_left() > 600 and _probe_with_retry(time_left):
+        ts_line = _subprocess(["--config", flagship, "--trainstep"],
+                              timeout=min(900, max(500, time_left())),
+                              stream=True)
+        if ts_line:
+            log(f"bench: RESULT trainstep: {ts_line}")
+        emit()
+
     # int8 weight-only sweep (reference load_8bit; batch-8 capacity
     # point) — competes freely for the headline in _pick_headline
-    if time_left() > 1200 and _probe_with_retry(time_left):
+    if time_left() > 900 and _probe_with_retry(time_left):
         lanes["int8"] = _subprocess(["--config", flagship, "--quant", "8"],
-                                    timeout=min(3600, time_left()),
+                                    timeout=min(1500, time_left()),
                                     stream=True)
         if lanes["int8"]:
             log(f"bench: RESULT {flagship} int8: {lanes['int8']}")
         emit()
 
-    # reproducible tower breakdown, each in its own process (stderr only)
-    if time_left() > 600 and _probe_with_retry(time_left):
-        for t in TOWERS:
-            if time_left() < 600:
+    # reproducible tower breakdown, each in its own process — pure
+    # diagnostics, last, each skippable at fine granularity
+    if time_left() > 420 and _probe_with_retry(time_left):
+        for t in TOWERS + ("llama_w8a8",):
+            if time_left() < 420:
                 log(f"bench: deadline reached, skipping tower {t}")
                 continue
-            _subprocess(["--config", flagship, "--tower", t],
-                        timeout=min(1800, time_left()))
-        if time_left() > 600:
-            # the W8A8 LLaMA split, reproducible like the bf16 towers
-            _subprocess(["--config", flagship, "--tower", "llama",
-                         "--quant", "8", "--w8a8"],
-                        timeout=min(1800, time_left()))
-        if time_left() > 600:
-            # batched validation loop rate (BASELINE configs[3]); log-only
-            vl = _subprocess(["--config", flagship, "--valloop",
-                              "--quant", "8", "--w8a8"],
-                             timeout=min(1800, time_left()))
-            if vl:
-                log(f"bench: RESULT valloop: {vl}")
+            argv = (["--config", flagship, "--tower", "llama",
+                     "--quant", "8", "--w8a8"] if t == "llama_w8a8"
+                    else ["--config", flagship, "--tower", t])
+            # captured, NOT streamed: a mid-loop kill must leave the
+            # HEADLINE as the last stdout line, not a tower_ms diagnostic
+            # (the value reaches the driver record via the stderr log)
+            _subprocess(argv, timeout=min(600, time_left()))
 
     headline = emit()
     if not headline and time_left() > 300 and _probe_backend():

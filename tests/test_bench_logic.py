@@ -117,6 +117,8 @@ def test_stream_subprocess_salvages_on_timeout(tmp_path, monkeypatch, capfd):
 def test_last_good_bank_roundtrip(tmp_path, monkeypatch):
     monkeypatch.setattr(bench, "LAST_GOOD_PATH",
                         str(tmp_path / "last_good.json"))
+    monkeypatch.setattr(bench, "HISTORY_PATH",
+                        str(tmp_path / "history.jsonl"))
     assert bench._read_last_good() is None
     fb = json.loads(bench._fallback_line("backend_outage"))
     assert "last_known_good=none" in fb["metric"]
@@ -142,10 +144,81 @@ def test_last_good_bank_roundtrip(tmp_path, monkeypatch):
                                               ",int8-w8a8,top1=1.000"))
     assert bench._read_last_good()["value"] == 13.5
 
+    # every successful write is commit-stamped in the append-only history
+    # (including the 8.98 run the monotonic bank refused) — the
+    # round-over-round regression record (VERDICT r4 #7, ADVICE r4)
+    hist = [json.loads(ln) for ln in open(bench.HISTORY_PATH)]
+    assert [h["value"] for h in hist] == [12.16, 8.98, 13.5]
+    assert all("commit" in h and "ts" in h for h in hist)
+    assert bench._read_last_good().get("commit") == hist[-1]["commit"]
+
+
+def test_tag_regression_marks_degraded_headline(tmp_path, monkeypatch):
+    """A run whose best lane is >10% below the banked best must carry a
+    regressed_from= tag in its own recorded line (VERDICT r4 #7): the
+    monotonic bank stays, but the degradation is visible in the record."""
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    monkeypatch.setattr(bench, "HISTORY_PATH",
+                        str(tmp_path / "history.jsonl"))
+    good = bench._result_line("llmseg_7b", 4, 12.16, 0.9,
+                              ",int8-w8a8,top1=1.000")
+    # empty bank: no tag
+    assert bench._tag_regression(good) == good
+    bench._write_last_good(good)
+
+    degraded = bench._result_line("llmseg_7b", 4, 8.98, 0.66)
+    tagged = json.loads(bench._tag_regression(degraded))
+    assert "regressed_from=12.16@" in tagged["metric"]
+    assert tagged["value"] == 8.98          # value itself is untouched
+    # within 10% of the bank: no tag
+    near = bench._result_line("llmseg_7b", 4, 11.5, 0.85,
+                              ",int8-w8a8,top1=1.000")
+    assert bench._tag_regression(near) == near
+    # None/garbage pass through
+    assert bench._tag_regression(None) is None
+    assert bench._tag_regression("not json") == "not json"
+
+
+def test_orchestrate_degraded_run_records_regression(tmp_path, monkeypatch,
+                                                     capsys):
+    """Drive a degraded run end-to-end: the bank holds 12.16 from a prior
+    round, every quantized lane fails today, bf16 lands 8.98 — the final
+    headline must carry the regressed_from tag and the bank must keep the
+    better value."""
+    monkeypatch.setattr(bench, "LAST_GOOD_PATH",
+                        str(tmp_path / "last_good.json"))
+    monkeypatch.setattr(bench, "HISTORY_PATH",
+                        str(tmp_path / "history.jsonl"))
+    bench._write_last_good(bench._result_line(
+        "llmseg_7b", 4, 12.16, 0.9, ",int8-w8a8,top1=1.000"))
+
+    bf16 = bench._result_line("llmseg_7b", 4, 8.98, 0.66)
+
+    def sub(argv, timeout=None, stream=False):
+        if "--quant" in argv or "--tower" in argv or "--amg" in argv \
+                or "--trainstep" in argv:
+            return None
+        return bf16
+
+    monkeypatch.setattr(bench, "_subprocess", sub)
+    monkeypatch.setattr(bench, "_probe_backend", lambda **k: True)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    rc = bench._orchestrate()
+    assert rc == 0
+    out = capsys.readouterr().out.splitlines()
+    _assert_every_prefix_parseable(out)
+    last = json.loads(out[-1])
+    assert last["value"] == 8.98
+    assert "regressed_from=12.16@" in last["metric"]
+    assert bench._read_last_good()["value"] == 12.16   # bank unharmed
+
 
 def _orchestrate_stubbed(monkeypatch, tmp_path, subprocess_fn, probe_fn):
     monkeypatch.setattr(bench, "LAST_GOOD_PATH",
                         str(tmp_path / "last_good.json"))
+    monkeypatch.setattr(bench, "HISTORY_PATH",
+                        str(tmp_path / "history.jsonl"))
     monkeypatch.setattr(bench, "_subprocess", subprocess_fn)
     monkeypatch.setattr(bench, "_probe_backend", probe_fn)
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
@@ -270,12 +343,18 @@ def test_orchestrate_w8a8_lane_runs_before_int8(tmp_path, monkeypatch,
     order = []
 
     def sub(argv, timeout=None, stream=False):
-        if "--w8a8" in argv:
+        if "--valloop" in argv:
+            order.append("valloop")
+        elif "--amg" in argv:
+            order.append("amg")
+        elif "--trainstep" in argv:
+            order.append("trainstep")
+        elif "--tower" in argv:
+            order.append("tower")
+        elif "--w8a8" in argv:
             order.append("w8a8")
         elif "--quant" in argv:
             order.append("int8")
-        elif "--tower" in argv:
-            order.append("tower")
         else:
             order.append("bf16")
         return None
@@ -283,9 +362,14 @@ def test_orchestrate_w8a8_lane_runs_before_int8(tmp_path, monkeypatch,
     _orchestrate_stubbed(monkeypatch, tmp_path, sub, lambda **k: True)
     # W8A8 is the very first lane: a short driver window records the
     # headline before anything else runs (observed 2026-08-19: a run that
-    # led with bf16 lost the W8A8 lane to a post-lane backend wedge)
+    # led with bf16 lost the W8A8 lane to a post-lane backend wedge).
+    # The BASELINE-config lanes (valloop, amg, trainstep — VERDICT r4
+    # #2/#3/#5) run before the int8 capacity sweep and the tower
+    # diagnostics, which come last.
     assert order[0] == "w8a8"
-    assert order.index("w8a8") < order.index("int8")
+    for lane in ("valloop", "amg", "trainstep"):
+        assert order.index(lane) < order.index("int8"), order
+    assert order.index("int8") < order.index("tower"), order
 
 
 def test_orchestrate_probe_retry_rescues_lane(tmp_path, monkeypatch,
@@ -348,3 +432,20 @@ def test_pick_headline_gates_and_promotes():
     w_slow = bench._result_line("llmseg_7b", 4, 9.1, 0.67,
                                 ",int8-w8a8,top1=1.000")
     assert bench._pick_headline(bf16, int8, w_slow) == int8
+
+
+def test_run_trainstep_tiny_cpu():
+    """The --trainstep lane end-to-end at tiny scale on CPU: quantize-in-
+    init QLoRA layout, one compiled partitioned step, finite timing."""
+    dt = bench.run_trainstep("llmseg_tiny", text_len=32)
+    assert dt > 0
+
+
+def test_run_amg_tiny_cpu():
+    """The --amg lane end-to-end at tiny scale on CPU: pipelined
+    submit/prefetch/finish with the survivor cap driving a full RLE load
+    on every image."""
+    ips, surv = bench.run_amg(n_images=3, survivors=4, model="tiny",
+                              points_per_side=4)
+    assert ips > 0
+    assert surv == 4            # the opened gates give exactly max_masks
