@@ -585,12 +585,14 @@ def run_trainstep(config_name: str, text_len: int = 512):
         return dt
 
 
-def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
+def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False,
+              num_images: int = 1):
     """Time ONE tower in a fresh process (VERDICT r2 weak #3: in-process
     tower scans at 7B OOM against the sweep's leftovers; isolating each
     tower makes the breakdown reproducible from the committed bench).
     quant_bits/w8a8 quantize the LLM in place first, so the W8A8 LLaMA
-    split (~40 ms vs 66 bf16) is reproducible too."""
+    split (~40 ms vs 66 bf16) is reproducible too.  num_images>1 times the
+    tower at the flagship batch point (per-BATCH ms, not per-image)."""
     import jax
     import jax.numpy as jnp
 
@@ -609,7 +611,7 @@ def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
                                           TEXT_LEN),
             head_dim=cfg.llava.llm.head_dim)
         jax.block_until_ready(params["llava"]["llm"])
-    batch = make_batch(cfg, num_images=1, rows_per_image=1,
+    batch = make_batch(cfg, num_images=num_images, rows_per_image=1,
                        text_len=TEXT_LEN, dtype=dtype)
     lv = cfg.llava
 
@@ -643,7 +645,7 @@ def run_tower(config_name: str, tower: str, quant_bits=None, w8a8=False):
         args = (params, batch, img_embeds)
     elif tower == "select_head":
         params = {"select": params["select"]}
-        R, K, D = 1, cfg.max_proposals, cfg.select.dim
+        R, K, D = num_images, cfg.max_proposals, cfg.select.dim
         pe = jnp.zeros((R, K, D), dtype)
         te = jnp.zeros((R, D), dtype)
         pv = jnp.ones((R, K), bool)
@@ -935,6 +937,8 @@ def main():
                     help="bench one named config only")
     ap.add_argument("--tower", default=None, choices=TOWERS,
                     help="time one tower only (implies --config)")
+    ap.add_argument("--tower_batch", type=int, default=1,
+                    help="images per tower timing batch (per-BATCH ms)")
     ap.add_argument("--quant", type=int, default=None, choices=[8, 4],
                     help="int weight-only quantized sweep (ref load_8bit)")
     ap.add_argument("--w8a8", action="store_true",
@@ -991,9 +995,12 @@ def main():
                     "vs_baseline": None}))
             elif args.tower:
                 dt = run_tower(args.config, args.tower,
-                               quant_bits=args.quant, w8a8=args.w8a8)
+                               quant_bits=args.quant, w8a8=args.w8a8,
+                               num_images=args.tower_batch)
                 qt = (f",int{args.quant}{'-w8a8' if args.w8a8 else ''}"
                       if args.quant else "")
+                qt += (f",batch{args.tower_batch}"
+                       if args.tower_batch != 1 else "")
                 print(json.dumps({
                     "metric": f"tower_ms[{args.config},{args.tower}{qt}]",
                     "value": round(dt * 1e3, 3), "unit": "ms",

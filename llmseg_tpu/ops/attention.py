@@ -236,58 +236,65 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, s_real,
 # Pallas flash attention — fused single-pass forward (non-causal inference)
 # ---------------------------------------------------------------------------
 #
-# At DINOv2@896 (T=S=4097, D=64, 16 heads) the kernel above is ~45% VPU:
-# with a single k-block it still spends four elementwise passes over each
-# (block_q, S) logits tile — max, subtract, exp2, sum — while the QK matmul
-# runs at half MXU depth (D=64 of 128).  This variant deletes every VPU
-# pass except exp2:
+# At DINOv2@896 (T=S=4097, D=64, 16 heads) the exact-max kernel above is
+# VPU-bound: with a single k-block it still spends the max and sum reduce
+# passes over each (block_q, S) logits tile on top of the irreducible
+# sub+exp2+cast pass, while the QK matmul runs at half MXU depth (D=64 of
+# 128).  This variant's hot loop is exactly ONE elementwise pass
+# (sub+exp2+cast); everything else rides the MXU or is O(rows):
 #
-#   * stability bias FUSED INTO THE MATMUL: q_ext = [q_prescaled, b_row],
-#     k_ext = [k, -1] makes the QK dot emit s - b_row directly, where
-#     b_row = max(|q_row| * max_j |k_j|, 1) is a Cauchy-Schwarz upper bound
-#     on the row max.  exp2(s - b) is mathematically the same softmax for
-#     ANY b >= rowmax; looseness only shifts p into [2^-gap, 1], and fp32
-#     keeps full RELATIVE precision down to 2^-126, so a gap far beyond
-#     anything real activations produce (|logits| <~ 50 in the log2
-#     domain) would be needed to underflow.  The extra contraction lane is
-#     free: the MXU is 128 deep and D=64 leaves half idle.
-#   * key-padding mask fused the same way: padded keys carry bias -1e4
-#     (>= 150 below any real logit), so their p is exactly 0.
-#   * softmax denominator ON THE MXU: v_ext = [v, 1] makes the PV dot
-#     emit [p @ v, sum(p)] in one pass; the epilogue divides.
+#   * stability bias ON THE VPU AS A (Bq, 1) ROW TERM: b_row =
+#     max(|q_row| * max_j |k_j|, 1) is a Cauchy-Schwarz upper bound on the
+#     row max, so exp2(s - b_row) never overflows and is mathematically
+#     the same softmax for ANY b >= rowmax.  |q_row| is a tiny (Bq, D)
+#     reduce in-kernel; max_j |k_j| is ONE precomputed f32 scalar per BH
+#     row fed through SMEM.  The r4 variant fused b_row into an extra QK
+#     contraction lane instead — and paid for it outside the kernel: the
+#     q_ext/k_ext concats + norm passes cost ~0.2 ms/layer of HBM traffic,
+#     which ate the entire kernel-side win (measured 1.001 vs 1.009).
+#   * key-padding handled by DATA, not masking: padded v rows are zero and
+#     the denominator lane (below) is 0 there, so padded keys contribute
+#     nothing to either output — no iota/compare/select in the hot pass.
+#   * softmax denominator ON THE MXU: v_ext = [v, valid] makes the PV dot
+#     emit [p @ v, sum_{valid} p] in one pass; the epilogue divides.  The
+#     valid-lane (1 real / 0 padded) IS the key mask.
+#   * underflow rescue WITHOUT recompute: b_row is not baked into the
+#     logits (unlike r4's fused lane, whose subtraction suffered f32
+#     cancellation and forced a second clean QK dot — the extra (Bq, S)
+#     tile blew Mosaic's 16 MB scoped-vmem stack at the batch-4 grid), so
+#     the rare deep-underflow branch reuses the SAME s tile with the exact
+#     row max.  Fits at every grid.
 #
 # Used for the inference-only primal of non-causal single-k-block shapes
 # (DINOv2/CLIP towers); training forwards keep the exact-max kernel whose
-# lse feeds the backward kernels.
-#
-# OPT-IN (LLMSEG_ATTN_ONEPASS=1), measured dead end on v5e 2026-08-18:
-# slope-timed 1.001 vs 1.009 ms/layer at (1, 4097, 16, 64) — the deleted
-# max/subtract/sum passes were nearly free against the exp2-transcendental
-# floor that both kernels share.  And the two pl.when branches' (block_q, S)
-# logits tiles coexist on the Mosaic stack: at grid BH=64 (batch 4) the
-# kernel exceeded the 16 MB scoped-vmem limit by 188 KB and failed to
-# compile (HTTP 500 from the remote compile helper) while BH=16 fit.  A
-# +0.8% kernel that cannot compile the flagship batch point stays off the
-# default route; kept for the correctness machinery (Cauchy-bound fusion,
-# underflow rescue) and exercised by tests.
-ONEPASS = os.environ.get("LLMSEG_ATTN_ONEPASS", "0") == "1"
+# lse feeds the backward kernels.  Measured (v5e, slope-timed): 0.834 vs
+# 1.009 ms/layer at (1, 4097, 16, 64) — 17% off the DINO attention floor.
+# Escape hatch: LLMSEG_ATTN_ONEPASS=0 restores the exact-max primal.
+ONEPASS = os.environ.get("LLMSEG_ATTN_ONEPASS", "1") == "1"
 
 
-def _fwd1_kernel(q_ref, k_ref, v_ref, o_ref, *, d_out, s_real):
-    q = q_ref[0]                                 # (Bq, D+1) pre-scaled+bias
+def _fwd1_kernel(kmax_ref, q_ref, k_ref, v_ref, o_ref, *, d_out, s_real):
+    q = q_ref[0]                                 # (Bq, D) pre-scaled log2
+    f32 = jnp.float32
+    # Cauchy-Schwarz row bound: |q_row| * max_j |k_j| >= rowmax(s), so
+    # p = exp2(s - b) <= 1 (no overflow possible); clamped >= 1 so zero
+    # q rows keep padded-key junk (s=0) below 2^-1
+    qn = jnp.sqrt(jnp.sum(jnp.square(q.astype(f32)), -1, keepdims=True))
+    b_row = jnp.maximum(qn * kmax_ref[pl.program_id(0), 0], 1.0)  # (Bq, 1)
     s = jax.lax.dot_general(q, k_ref[0], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32,
-                            precision=_prec(q))  # (Bq, S) = logits - b_row
-    p = jnp.exp2(s).astype(v_ref.dtype)          # the ONLY elementwise pass
+                            precision=_prec(q))  # (Bq, S) raw log2 logits
+    p = jnp.exp2(s - b_row).astype(v_ref.dtype)  # the ONLY hot VPU pass
     acc = jax.lax.dot(p, v_ref[0], preferred_element_type=jnp.float32,
                       precision=_prec(q))        # (Bq, D+1) = [o*l, l]
     l = acc[:, d_out:d_out + 1]
     # Underflow rescue: the Cauchy bound can sit arbitrarily far above the
     # true row max for near-orthogonal big-norm q/k (p_max = 2^-gap; past
     # gap ~126 the whole row flushes to zero).  Real post-LN activations
-    # never get close, so the predicate is ~always false and this branch
-    # compiles to one (Bq, 1) reduce; when it fires, the block recomputes
-    # with the exact per-row max — full correctness at any norm.  The
+    # never get close, so the predicate is ~always false; when it fires,
+    # the block redoes the softmax with the exact per-row max ON THE SAME
+    # s TILE — b_row was never baked into s, so s is the clean QK dot and
+    # no recompute (= no second (Bq, S) f32 tile) is needed.  The
     # threshold is 2^-40-ish, not the underflow line: rows kept on the
     # fast path must have p_max far from subnormals or they shed mantissa
     # bits (seen as 5e-5-level output error in the adversarial test).
@@ -299,17 +306,10 @@ def _fwd1_kernel(q_ref, k_ref, v_ref, o_ref, *, d_out, s_real):
 
     @pl.when(jnp.logical_not(ok))
     def _exact():
-        # recompute CLEAN logits without the fused bias lane: when the
-        # bound is pathologically loose, s = q.k - b suffers f32
-        # cancellation (absolute error ~ b * 2^-24), so exp2(s - max(s))
-        # would carry it; the bias-free dot is exact
-        sc = jax.lax.dot_general(
-            q[:, :d_out], k_ref[0][:, :d_out], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=_prec(q))
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, sc.shape[-1]), 1)
-        sc = sc + jnp.where(col < s_real, 0.0, NEG_INF)
-        m = jnp.max(sc, axis=-1, keepdims=True)
-        p2 = jnp.exp2(sc - m).astype(v_ref.dtype)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[-1]), 1)
+        sm = s + jnp.where(col < s_real, 0.0, NEG_INF)
+        m = jnp.max(sm, axis=-1, keepdims=True)
+        p2 = jnp.exp2(sm - m).astype(v_ref.dtype)
         acc2 = jax.lax.dot(p2, v_ref[0], preferred_element_type=jnp.float32,
                            precision=_prec(q))
         l2 = acc2[:, d_out:d_out + 1]
@@ -322,28 +322,30 @@ def _flash_fwd_1pass(q, k, v, *, block_q, s_real):
     (BH, Sp, D) padded.  Non-causal, whole key row per instance."""
     BH, Tp, D = q.shape
     Sp = k.shape[1]
-    # Cauchy-Schwarz row bound in the pre-scaled log2 domain; clamped >= 1
-    # so padded/zero q rows still drive the pad-key bias hard negative
     f32 = jnp.float32
+    # one scalar per BH row: max key L2 norm (SMEM operand; padded k rows
+    # are zero and cannot win the max)
     kmax = jnp.max(jnp.sqrt(jnp.sum(jnp.square(k.astype(f32)), -1)),
-                   axis=-1, keepdims=True)            # (BH, 1)
-    qnorm = jnp.sqrt(jnp.sum(jnp.square(q.astype(f32)), -1,
-                             keepdims=True))          # (BH, Tp, 1)
-    b_row = jnp.maximum(qnorm * kmax[:, :, None], 1.0)
-    q_ext = jnp.concatenate([q, b_row.astype(q.dtype)], -1)
+                   axis=-1, keepdims=True)            # (BH, 1) f32
+    # denominator-and-validity lane: 1 on real keys, 0 on padding — the PV
+    # dot then emits sum_{valid} p, and padded keys (zero v rows, zero
+    # lane) vanish from both outputs with no in-kernel masking
     col = jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1)
-    kbias = jnp.where(col < s_real, -1.0, -1e4).astype(k.dtype)
-    k_ext = jnp.concatenate([k, jnp.broadcast_to(kbias, (BH, Sp, 1))], -1)
+    lane = jnp.where(col < s_real, 1.0, 0.0).astype(v.dtype)
     v_ext = jnp.concatenate(
-        [v, jnp.ones((BH, Sp, 1), v.dtype)], -1)
+        [v, jnp.broadcast_to(lane, (BH, Sp, 1))], -1)
     De = D + 1
     o = pl.pallas_call(
         functools.partial(_fwd1_kernel, d_out=D, s_real=s_real),
         grid=(BH, Tp // block_q),
         in_specs=[
-            pl.BlockSpec((1, block_q, De), lambda bh, qi: (bh, qi, 0),
+            # whole (BH, 1) array in SMEM (TPU rejects blocked SMEM specs);
+            # the kernel indexes its row by program_id
+            pl.BlockSpec((BH, 1), lambda bh, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, D), lambda bh, qi: (bh, qi, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Sp, De), lambda bh, qi: (bh, 0, 0),
+            pl.BlockSpec((1, Sp, D), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Sp, De), lambda bh, qi: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -356,7 +358,7 @@ def _flash_fwd_1pass(q, k, v, *, block_q, s_real):
             bytes_accessed=2 * BH * (Tp + 2 * Sp) * De * q.dtype.itemsize,
             transcendentals=BH * Tp * Sp),
         interpret=_interpret(),
-    )(q_ext, k_ext, v_ext)
+    )(kmax, q, k, v_ext)
     return o
 
 
@@ -567,9 +569,9 @@ def _flash_bwd(res, g, *, causal, block_q, block_k, s_real):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _flash_attention(q, k, v, causal, block_q, block_k, s_real):
     # inference primal only (the grad path traces _flash_attention_fwd
-    # instead): with LLMSEG_ATTN_ONEPASS=1, non-causal single-k-block shapes
-    # take the fused one-pass kernel — exp2 is its only VPU pass over the
-    # logits tile (opt-in; see the dead-end note above)
+    # instead): non-causal single-k-block shapes take the fused one-pass
+    # kernel — sub+exp2+cast is its only VPU pass over the logits tile
+    # (default on; LLMSEG_ATTN_ONEPASS=0 restores the exact-max primal)
     if ONEPASS and not causal and k.shape[1] == block_k:
         return _flash_fwd_1pass(q, k, v, block_q=block_q, s_real=s_real)
     o, _ = _flash_fwd(q, k, v, causal=causal, block_q=block_q,
@@ -622,14 +624,24 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
         # running-max bookkeeping (one rescale instead of S/block_k) —
         # measured 6% faster at the DINOv2@896 shape.  Causal keeps small
         # blocks: the per-block diagonal clamp skips ~half the work.
-        # s-tile VMEM budget: block_q * Sp * 4B <= ~7MB picks block_q=384
-        # at S=4224 (1.11 -> 1.01 ms/layer vs 256; 512 is slower again and
-        # 1024 exceeds the 16MB kernel stack).  fp32 inputs double every
-        # q/k/v/acc buffer, so halve the s-tile budget too (a 21.7MB stack
-        # blows the 16MB scoped-vmem limit at the DINOv2@896 shape).
         block_k = _round_up(S, 128)
-        s_budget = 7_000_000 if q.dtype.itemsize <= 2 else 3_000_000
-        budget_q = max((s_budget // (4 * block_k)) // 128 * 128, 128)
+        if ONEPASS:
+            # one-pass tile budget: s f32 + p + rescue p2 in input dtype
+            # = 4 + 2*itemsize bytes/logit; ~11MB leaves room for the k/v
+            # double buffers under Mosaic's 16MB scoped-vmem cap.  64-
+            # granular blocks: at DINOv2@896 this picks block_q=320, and
+            # Tp = round_up(4097, 320) = 4160 sheds 1.5% q-padding vs the
+            # 128-granular 384/4224 pair.
+            bpe = 4 + 2 * q.dtype.itemsize
+            budget_q = max((11_000_000 // (bpe * block_k)) // 64 * 64, 128)
+        else:
+            # exact-max tiles: s f32 only.  block_q * Sp * 4B <= ~7MB picks
+            # block_q=384 at S=4224 (1.11 -> 1.01 ms/layer vs 256; 512 is
+            # slower again and 1024 exceeds the 16MB kernel stack).  fp32
+            # inputs double every q/k/v/acc buffer, so halve the s-tile
+            # budget too.
+            s_budget = 7_000_000 if q.dtype.itemsize <= 2 else 3_000_000
+            budget_q = max((s_budget // (4 * block_k)) // 128 * 128, 128)
         block_q = min(block_q, budget_q)
     Tp, Sp = _round_up(T, block_q), _round_up(S, block_k)
     # Mosaic accepts a block last dim EQUAL to the array dim, so D=64 (the

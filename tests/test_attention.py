@@ -72,13 +72,13 @@ def test_flash_key_padding_masked():
                                atol=2e-5, rtol=2e-5)
 
 
-def test_fused_1pass_adversarial_norms(monkeypatch):
+def test_fused_1pass_adversarial_norms():
     """The fused single-pass kernel bounds the row max by |q|*max|k|
     (Cauchy-Schwarz).  Stress the bound's looseness: near-orthogonal
-    big-norm q/k (worst case for bound-minus-max gap) plus ragged key
-    padding must still match XLA, and the DINO/CLIP-like shape must route
-    through the one-pass path (single k-block, opted in)."""
-    monkeypatch.setattr(A, "ONEPASS", True)
+    big-norm q/k (worst case for bound-minus-max gap, firing the in-kernel
+    exact-max rescue) plus ragged key padding must still match XLA, and
+    the DINO/CLIP-like shape must route through the one-pass path (single
+    k-block, the default)."""
     rng = np.random.RandomState(0)
     B, T, S, H, D = 1, 200, 300, 2, 64
     # orthogonal-ish construction: q lives in dims [0:32), k in [32:64)
@@ -98,10 +98,12 @@ def test_fused_1pass_adversarial_norms(monkeypatch):
 
 
 def test_fused_1pass_routing(monkeypatch):
-    """The one-pass kernel is OPT-IN (LLMSEG_ATTN_ONEPASS=1): its vmem
-    stack exceeded the 16 MB Mosaic limit at the batch-4 DINO grid (BH=64),
-    so the default route must stay on the exact-max kernel.  Opted in,
-    non-causal single-k-block shapes take it; causal never does."""
+    """The one-pass kernel is the DEFAULT inference primal for non-causal
+    single-k-block shapes (the r5 rework keeps the Cauchy bound as a row
+    term and the rescue on the same s tile, so it fits Mosaic's scoped
+    vmem at every grid — unlike the r4 fused-lane variant).  Causal shapes
+    and the escape hatch (LLMSEG_ATTN_ONEPASS=0) keep the exact-max
+    kernel; the grad path always does."""
     calls = []
     orig = A._flash_fwd_1pass
 
@@ -112,18 +114,22 @@ def test_fused_1pass_routing(monkeypatch):
     monkeypatch.setattr(A, "_flash_fwd_1pass", spy)
     q, k, v = _make(T=300, S=300, D=64, dtype=jnp.bfloat16)
     A.flash_attention(q, k, v)
-    assert len(calls) == 0     # default: exact-max kernel
-    monkeypatch.setattr(A, "ONEPASS", True)
-    A.flash_attention(q, k, v)
-    assert len(calls) == 1     # opted in: one-pass
+    assert len(calls) == 1     # default: one-pass
     A.flash_attention(q, k, v, causal=True)
     assert len(calls) == 1     # causal keeps the exact-max kernel
+    monkeypatch.setattr(A, "ONEPASS", False)
+    A.flash_attention(q, k, v)
+    assert len(calls) == 1     # opted out: exact-max kernel
+    # grad path: exact-max forward (its lse feeds the backward kernels)
+    monkeypatch.setattr(A, "ONEPASS", True)
+    q32, k32, v32 = (x.astype(jnp.float32) for x in (q, k, v))
+    jax.grad(lambda a: jnp.sum(A.flash_attention(a, k32, v32)))(q32)
+    assert len(calls) == 1
 
 
-def test_fused_1pass_matches_exact_max_kernel(monkeypatch):
+def test_fused_1pass_matches_exact_max_kernel():
     """One-pass (inference primal) vs the exact-max kernel (grad-path
     forward) on identical inputs: same softmax, different stabilizer."""
-    monkeypatch.setattr(A, "ONEPASS", True)
     q, k, v = _make(T=384, S=384, D=64, dtype=jnp.bfloat16, seed=3)
     out1 = A.flash_attention(q, k, v)                       # 1-pass route
     # force the multi-block (exact-max) kernel by shrinking block_k
