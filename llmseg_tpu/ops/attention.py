@@ -599,24 +599,36 @@ _flash_attention.defvjp(_flash_attention_fwd, _flash_attention_bwd)
 
 
 def flash_attention(q, k, v, *, causal=False, scale=None,
-                    block_q=512, block_k=512):
+                    block_q=None, block_k=None):
     # default 512x512 blocks: measured 2-3x faster than 256x256 at seq 4096
     # on v5e (VMEM can hold q-block + full K/V comfortably at these sizes)
     """Pallas flash attention.  q: (B, T, H, D); k, v: (B, S, H, D).
 
     T, S, D are padded internally to hardware-friendly multiples; key padding
     is masked inside the kernel, query padding is sliced off the output.
+    block_q/block_k default to a measured per-shape policy; explicit values
+    are honored.
     """
     B, T, H, D = q.shape
     S = k.shape[1]
     scale = (1.0 / math.sqrt(D)) if scale is None else scale
+    bk_user = block_k
+    block_q = 512 if block_q is None else block_q
+    block_k = 512 if block_k is None else block_k
     if causal and T <= 2048:
-        # small causal shapes: 256 blocks pad T to the next multiple of 256
-        # instead of 512 (LLaMA's 767-token sequences: 768 vs 1024 padded,
-        # measured 3.4x faster — 0.046 vs 0.158 ms/layer on v5e) and give
-        # the diagonal clamp finer granularity.
+        # small causal shapes: 256 q-blocks pad T to the next multiple of
+        # 256 instead of 512 (LLaMA's 767-token sequences: 768 vs 1024
+        # padded, measured 3.4x faster — 0.046 vs 0.158 ms/layer on v5e)
+        # and give the diagonal clamp finer granularity.
         block_q = min(block_q, 256)
-        block_k = min(block_k, 256)
+        if bk_user is None and S <= 2048:
+            # whole key row per step: fewer, fatter grid steps beat the
+            # per-block diagonal skip at these sizes (r5 sweep at
+            # (4, 767, 32, 128) W8A8 batch point: 0.592 -> 0.495 ms/layer;
+            # 768x768 0.531, 512x512 0.662)
+            block_k = _round_up(S, 128)
+        else:
+            block_k = min(block_k, 256)
     block_q = min(block_q, _round_up(T, 128))
     block_k = min(block_k, _round_up(S, 128))
     if not causal and S <= 4608:
