@@ -54,8 +54,7 @@ def _layer_cached(p, lp, x, ck, cv, pos, cos, sin, cfg, scaling, prompt_len):
                              L.rmsnorm(p["input_norm"], x, cfg.rms_norm_eps),
                              ck, cv, pos, cos, sin, cfg, scaling, prompt_len)
     x = x + h
-    x = x + llama._mlp_block(p, L.rmsnorm(p["post_norm"], x,
-                                          cfg.rms_norm_eps))
+    x = x + llama._mlp_block(p, x, p["post_norm"], cfg)
     return x, ck, cv
 
 
@@ -100,8 +99,7 @@ def prefill_cache(params: dict, cfg: LlamaConfig, inputs_embeds: jnp.ndarray,
 
         o = attention(q, kk, vv, causal=True)
         x = x + L.dense(lp["attn"]["o"], o.reshape(B, T, -1))
-        x = x + llama._mlp_block(lp, L.rmsnorm(lp["post_norm"], x,
-                                               cfg.rms_norm_eps))
+        x = x + llama._mlp_block(lp, x, lp["post_norm"], cfg)
     hidden = L.rmsnorm(params["norm"], x, cfg.rms_norm_eps)
     return hidden, cache
 

@@ -145,25 +145,48 @@ def embed(params: dict, input_ids: jnp.ndarray,
     return jnp.einsum("rtv,vd->rtd", oh, table)
 
 
-def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
-                positions=None, stats=None):
-    B, T, _ = x.shape
-    if stats is not None:
-        stats["attn_in"] = _colmax(x)
-    shared = _shared_qdense((p["q"], p["k"], p["v"]), x)
-    if shared is not None:
-        q, k, v = shared
-        if lp is not None:
-            if "q" in lp:
-                q = q + ((x @ lp["q"]["a"]) @ lp["q"]["b"]) * scaling
-            if "v" in lp:
-                v = v + ((x @ lp["v"]["a"]) @ lp["v"]["b"]) * scaling
+def _rms_qdense(ps, x_raw, norm_p, eps, lp, stats):
+    """Fused rmsnorm -> shared per-token quantization -> W8A8 dots: the
+    rsqrt cancels inside the int8 values (quant.rms_quantize_activation),
+    so the bf16 normed tensor is never materialized.  Returns None when
+    any leaf is not W8A8, a LoRA overlay needs the normed tensor, the
+    calibration pass wants its column stats, or the opt-in outlier
+    decomposition is active — callers fall back to rmsnorm + the unfused
+    path."""
+    from llmseg_tpu.ops import quant
+
+    if (lp is not None or stats is not None or quant.W8A8_OUTLIER_K > 0
+            or not all("w_q8a" in p for p in ps)):
+        return None
+    qa = quant.rms_quantize_activation(x_raw, norm_p["scale"], eps)
+    return [quant.qdense_act(p, qa, x_raw.dtype) for p in ps]
+
+
+def _attn_block(p, lp, x_raw, norm_p, cos, sin, cfg: LlamaConfig,
+                scaling: float, positions=None, stats=None):
+    B, T, _ = x_raw.shape
+    fused = _rms_qdense((p["q"], p["k"], p["v"]), x_raw, norm_p,
+                        cfg.rms_norm_eps, lp, stats)
+    if fused is not None:
+        q, k, v = fused
     else:
-        q = _dense_lora(p["q"], None if lp is None else lp.get("q"), x,
-                        scaling)
-        k = L.dense(p["k"], x)
-        v = _dense_lora(p["v"], None if lp is None else lp.get("v"), x,
-                        scaling)
+        x = L.rmsnorm(norm_p, x_raw, cfg.rms_norm_eps)
+        if stats is not None:
+            stats["attn_in"] = _colmax(x)
+        shared = _shared_qdense((p["q"], p["k"], p["v"]), x)
+        if shared is not None:
+            q, k, v = shared
+            if lp is not None:
+                if "q" in lp:
+                    q = q + ((x @ lp["q"]["a"]) @ lp["q"]["b"]) * scaling
+                if "v" in lp:
+                    v = v + ((x @ lp["v"]["a"]) @ lp["v"]["b"]) * scaling
+        else:
+            q = _dense_lora(p["q"], None if lp is None else lp.get("q"), x,
+                            scaling)
+            k = L.dense(p["k"], x)
+            v = _dense_lora(p["v"], None if lp is None else lp.get("v"), x,
+                            scaling)
     q = q.reshape(B, T, cfg.num_heads, cfg.head_dim)
     k = k.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
     v = v.reshape(B, T, cfg.num_kv_heads, cfg.head_dim)
@@ -179,14 +202,21 @@ def _attn_block(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
     return L.dense(p["o"], o)
 
 
-def _mlp_block(p, x, stats=None):
-    if stats is not None:
-        stats["mlp_in"] = _colmax(x)
-    shared = _shared_qdense((p["mlp"]["gate"], p["mlp"]["up"]), x)
-    if shared is not None:
-        gate, up = shared
+def _mlp_block(p, x_raw, norm_p, cfg: LlamaConfig, stats=None):
+    fused = _rms_qdense((p["mlp"]["gate"], p["mlp"]["up"]), x_raw, norm_p,
+                        cfg.rms_norm_eps, None, stats)
+    if fused is not None:
+        gate, up = fused
     else:
-        gate, up = L.dense(p["mlp"]["gate"], x), L.dense(p["mlp"]["up"], x)
+        x = L.rmsnorm(norm_p, x_raw, cfg.rms_norm_eps)
+        if stats is not None:
+            stats["mlp_in"] = _colmax(x)
+        shared = _shared_qdense((p["mlp"]["gate"], p["mlp"]["up"]), x)
+        if shared is not None:
+            gate, up = shared
+        else:
+            gate = L.dense(p["mlp"]["gate"], x)
+            up = L.dense(p["mlp"]["up"], x)
     h = jax.nn.silu(gate) * up
     if stats is not None:
         stats["down_in"] = _colmax(h)
@@ -195,11 +225,9 @@ def _mlp_block(p, x, stats=None):
 
 def _layer(p, lp, x, cos, sin, cfg: LlamaConfig, scaling: float,
            stats=None):
-    x = x + _attn_block(p["attn"], lp, L.rmsnorm(p["input_norm"], x,
-                                                 cfg.rms_norm_eps),
+    x = x + _attn_block(p["attn"], lp, x, p["input_norm"],
                         cos, sin, cfg, scaling, stats=stats)
-    return x + _mlp_block(p, L.rmsnorm(p["post_norm"], x, cfg.rms_norm_eps),
-                          stats=stats)
+    return x + _mlp_block(p, x, p["post_norm"], cfg, stats=stats)
 
 
 def apply(params: dict, cfg: LlamaConfig, *,

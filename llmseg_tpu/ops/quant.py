@@ -165,6 +165,32 @@ def quantize_activation(x: jnp.ndarray, k: int | None = None) -> Dict:
     return qa
 
 
+def rms_quantize_activation(x: jnp.ndarray, gamma: jnp.ndarray,
+                            eps: float = 1e-6) -> Dict:
+    """Per-token int8 quantization of rmsnorm(x; gamma) WITHOUT
+    materializing the normed tensor: the per-token rsqrt factor cancels
+    inside the int8 values —
+
+        xq = round(127 * x*gamma / max_j |x_j*gamma_j|)
+        sc = max_j |x_j*gamma_j| * rsqrt(mean x^2 + eps) / 127
+
+    so rmsnorm -> quantize_activation collapses to one pass over x*gamma
+    plus two row reductions, deleting the bf16 normed intermediate (and
+    its extra traversals) from every W8A8 norm->matmul site.  Slightly
+    MORE precise than the unfused pair: the int8 value is computed from
+    f32 x*gamma, not from the bf16-rounded normed tensor.  SmoothQuant
+    folding composes unchanged (the fold lands in gamma).  Not compatible
+    with the opt-in outlier decomposition (W8A8_OUTLIER_K>0) — callers
+    fall back to the unfused path there."""
+    xf = x.astype(jnp.float32)
+    t = xf * gamma.astype(jnp.float32)
+    m = jnp.maximum(jnp.max(jnp.abs(t), axis=-1, keepdims=True), 1e-6)
+    ms = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+    sc = m * jax.lax.rsqrt(ms + eps) * (1.0 / 127.0)
+    xq = jnp.clip(jnp.round(t * (127.0 / m)), -127, 127).astype(jnp.int8)
+    return {"xq": xq, "sc": sc}
+
+
 def qdense_act(p: Dict, qa: Dict, out_dtype) -> jnp.ndarray:
     """s8 x s8 -> s32 MXU dot against a pre-quantized activation (see
     quantize_activation), rescaled by the outer product of activation and
