@@ -194,6 +194,10 @@ def _init_params(cfg, dtype):
     with jax.default_device(jax.devices()[0]):
         params = jax.jit(lambda k: llmseg.init(k, cfg, dtype=dtype))(
             jax.random.PRNGKey(0))
+    # exact frozen-tower reparameterizations (DINO layerscale fold) — all
+    # lanes measure the folded form; quality probes compare folded bf16 vs
+    # folded quantized, so the fold never hides a quantization delta
+    llmseg.fold_frozen_inplace(params)
     jax.block_until_ready(params)
     log(f"bench: init {time.perf_counter() - t0:.1f}s")
     return params

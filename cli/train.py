@@ -134,6 +134,11 @@ def main(argv=None):
             _writeback(lora_tree, ("lora",))
 
     if args.eval_only:
+        # exact frozen-tower reparameterization (DINO layerscale fold):
+        # inference never pays the two per-block (B, T, D) multiplies
+        from llmseg_tpu.models import llmseg as _llmseg
+
+        _llmseg.fold_frozen_inplace(trainer.skeleton)
         vis = os.path.join(cfg.train.log_dir, "eval_vis") \
             if args.visualize else None
         res = trainer.validate(val_batches(), strategy=args.eval_strategy,

@@ -177,14 +177,22 @@ def patch_embed_init(key, patch: int, in_ch: int, dim: int, bias: bool = True,
 
 
 def patch_embed(p: Params, x: jnp.ndarray, patch: int) -> jnp.ndarray:
-    """(B,H,W,C) -> (B,H/p,W/p,dim).  Implemented as reshape+matmul: a strided
-    conv with kernel==stride is exactly a blocked matmul, and this form lets
-    XLA put it straight on the MXU with no im2col."""
-    B, H, W, C = x.shape
-    gh, gw = H // patch, W // patch
-    x = x.reshape(B, gh, patch, gw, patch, C).transpose(0, 1, 3, 2, 4, 5)
-    x = x.reshape(B, gh, gw, patch * patch * C)
-    y = x @ p["w"].reshape(-1, p["w"].shape[-1])
+    """(B,H,W,C) -> (B,H/p,W/p,dim).  On TPU the XLA conv emitter beats the
+    manual reshape+matmul form: the latter's 6-D transpose has a last dim of
+    3 (3 of 128 lanes live), and the conv emitter's own space-to-depth
+    handles it (measured 2.59 -> 2.28 ms at DINOv2@896 batch 4, bit-equal
+    output).  CPU/tests keep the matmul form — it is exact in f32 and
+    XLA:CPU convs are slow."""
+    if jax.default_backend() == "tpu":
+        y = jax.lax.conv_general_dilated(
+            x, p["w"], window_strides=(patch, patch), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    else:
+        B, H, W, C = x.shape
+        gh, gw = H // patch, W // patch
+        x = x.reshape(B, gh, patch, gw, patch, C).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(B, gh, gw, patch * patch * C)
+        y = x @ p["w"].reshape(-1, p["w"].shape[-1])
     if "b" in p:
         y = y + p["b"]
     return y

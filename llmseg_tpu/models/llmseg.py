@@ -58,9 +58,48 @@ def dino_features(params: dict, cfg: LLMSegConfig,
     B, N, D = feats.shape
     g = cfg.dino.grid
     fmap = feats.reshape(B, g, g, D).astype(jnp.float32)
-    fmap = jax.image.resize(fmap, (B, cfg.seg_grid, cfg.seg_grid, D),
-                            method="bilinear")
+    fmap = _bilinear_upsample(fmap, cfg.seg_grid)
     return fmap.reshape(B, cfg.seg_grid * cfg.seg_grid, D).astype(feats.dtype)
+
+
+def _interp_matrix(n_in: int, n_out: int) -> jnp.ndarray:
+    """(n_out, n_in) f32 bilinear interpolation weights — exactly
+    jax.image.resize('bilinear') applied to the identity (two nonzeros per
+    row).  Cached as a concrete host constant so jit traces embed it."""
+    key = (n_in, n_out)
+    m = _INTERP_CACHE.get(key)
+    if m is None:
+        import numpy as np
+
+        # numpy, not jax.image.resize-of-eye: inside a jit trace every jnp
+        # op stages to a tracer, and this matrix must be a host constant.
+        # Same math as jax.image.resize('bilinear') upsampling: half-pixel
+        # sample coords, triangle kernel, edge rows renormalized.
+        scale = n_out / n_in
+        x = (np.arange(n_out, dtype=np.float64) + 0.5) / scale - 0.5
+        i = np.arange(n_in, dtype=np.float64)
+        w = np.maximum(0.0, 1.0 - np.abs(x[:, None] - i[None, :]))
+        w = w / w.sum(-1, keepdims=True)
+        m = w.astype(np.float32)
+        _INTERP_CACHE[key] = m
+    # cache holds NUMPY (a jnp constant created inside one jit trace is a
+    # tracer and must not leak into the next); jnp.asarray per-trace is free
+    return jnp.asarray(m)
+
+
+_INTERP_CACHE: Dict = {}
+
+
+def _bilinear_upsample(fmap: jnp.ndarray, out: int) -> jnp.ndarray:
+    """f32 bilinear (B, g, g, D) -> (B, out, out, D) as two separable
+    matmuls against the (out, g) interpolation matrix: identical math to
+    jax.image.resize (each output row is the same 2-term convex combination;
+    precision=HIGHEST keeps the f32 dot exact), but rides the MXU instead
+    of the resize gather — measured 2.26 -> 1.73 ms at (4, 64->256, 256)."""
+    M = _interp_matrix(fmap.shape[1], out)
+    hi = jax.lax.Precision.HIGHEST
+    t = jnp.einsum("oh,bhwd->bowd", M, fmap, precision=hi)
+    return jnp.einsum("ow,bhwd->bhod", M, t, precision=hi)
 
 
 def seg_hidden_index(input_ids: jnp.ndarray, cfg: LLMSegConfig):
@@ -146,6 +185,18 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
         "prop_valid": prop_valid,
         "row_valid": batch["row_valid"] & has_seg,
     }
+
+
+def fold_frozen_inplace(params: dict) -> dict:
+    """Inference-time exact reparameterizations of the frozen towers —
+    currently the DINOv2 LayerScale fold (vit.fold_layerscale_inplace),
+    which deletes two (B, T, D) elementwise passes per block.  Safe under
+    training too (the towers sit behind stop_gradient, reference
+    LISA.py:48,186), but wired on the inference/bench paths so saved
+    checkpoints keep the canonical tree shape."""
+    if "dino" in params:
+        vit.fold_layerscale_inplace(params["dino"])
+    return params
 
 
 def calibrate_quant_stats(params: dict, cfg: LLMSegConfig, batch,

@@ -74,15 +74,43 @@ def block_init(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
 
 
 def block_apply(p: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
+    # layerscale gates on key PRESENCE, not just cfg: fold_layerscale_inplace
+    # removes ls1/ls2 after folding them into the out-proj/fc2 weights, and
+    # the folded params must not pay a (B, T, D) multiply against ones
     act = L.quick_gelu if cfg.use_quick_gelu else jax.nn.gelu
     h = _attn(p["attn"], L.layernorm(p["norm1"], x, eps=cfg.ln_eps), cfg.num_heads)
-    if cfg.layerscale:
+    if cfg.layerscale and "ls1" in p:
         h = h * p["ls1"]
     x = x + h
     h = L.mlp(p["mlp"], L.layernorm(p["norm2"], x, eps=cfg.ln_eps), act=act)
-    if cfg.layerscale:
+    if cfg.layerscale and "ls2" in p:
         h = h * p["ls2"]
     return x + h
+
+
+def fold_layerscale_inplace(p: dict) -> dict:
+    """Fold DINOv2's LayerScale diagonals into the producing projections:
+
+        (o @ W_o + b_o) * ls1 == o @ (W_o * ls1) + b_o * ls1
+        (h @ W_fc2 + b_fc2) * ls2 == h @ (W_fc2 * ls2) + b_fc2 * ls2
+
+    Exact reparameterization (f32 fold, one bf16 rounding — same class as
+    the SmoothQuant fold, ops/quant.py), so the frozen tower loses two
+    (B, T, D) elementwise passes per block at inference AND training (the
+    tower is frozen behind stop_gradient, reference LISA.py:48,186).
+    Mutates `p` (the ls leaves are deleted); returns it for chaining.
+    No-op for towers without layerscale (CLIP)."""
+    for bp in p.get("blocks", ()):
+        for ls_name, proj in (("ls1", bp["attn"]["out"]), ("ls2", bp["mlp"]["fc2"])):
+            if ls_name not in bp:
+                continue
+            ls = bp.pop(ls_name).astype(jnp.float32)
+            proj["w"] = (proj["w"].astype(jnp.float32) * ls).astype(
+                proj["w"].dtype)
+            if "b" in proj:
+                proj["b"] = (proj["b"].astype(jnp.float32) * ls).astype(
+                    proj["b"].dtype)
+    return p
 
 
 def init(key, cfg: ViTConfig, dtype=jnp.float32) -> dict:
@@ -113,9 +141,16 @@ def embed(p: dict, x: jnp.ndarray, cfg: ViTConfig) -> jnp.ndarray:
     tok = L.patch_embed(p["patch_embed"], x, cfg.patch_size)
     tok = tok.reshape(B, -1, cfg.hidden_size)
     if cfg.use_class_embedding:
-        cls = jnp.broadcast_to(p["cls_token"], (B, 1, cfg.hidden_size))
-        tok = jnp.concatenate([cls, tok], axis=1)
-    tok = tok + p["pos_embed"]
+        # add positions to the patch tokens FIRST (token count 4096 is
+        # 8-sublane aligned; fusing the add into the misaligned 4097-row
+        # post-concat buffer measured ~4 ms/batch slower at DINOv2@896),
+        # then concat the single fully-formed cls row
+        tok = tok + p["pos_embed"][:, 1:]
+        cls = p["cls_token"] + p["pos_embed"][:, :1]
+        tok = jnp.concatenate(
+            [jnp.broadcast_to(cls, (B, 1, cfg.hidden_size)), tok], axis=1)
+    else:
+        tok = tok + p["pos_embed"]
     if cfg.layernorm_pre:
         tok = L.layernorm(p["pre_norm"], tok, eps=cfg.ln_eps)
     return tok

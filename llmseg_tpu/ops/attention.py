@@ -271,6 +271,15 @@ def _flash_fwd(q, k, v, *, causal, block_q, block_k, s_real,
 # 1.009 ms/layer at (1, 4097, 16, 64) — 17% off the DINO attention floor.
 # Escape hatch: LLMSEG_ATTN_ONEPASS=0 restores the exact-max primal.
 ONEPASS = os.environ.get("LLMSEG_ATTN_ONEPASS", "1") == "1"
+# Transposed-output variant of the one-pass kernel: both MXU dots run with
+# the q-block on the LANE (output) dimension.  Rationale, measured on v5e
+# (isolated dots at the DINOv2@896 batch-4 grid): the straight PV dot
+# (320, 4160) @ (4160, 65) leaves half the 128 MXU output lanes idle —
+# padding N from 65 to 128 costs nothing (4.09 vs 3.96 us/step) — while the
+# transposed form (65, 4160) @ (4160, 320) runs 22% faster (3.17 us).  The
+# kernel computes s^T = k @ q^T (Sp, Bq) and o^T = v_ext^T @ p^T (De, Bq),
+# so the q-block width (a 128-multiple) fills the lanes of BOTH dots.
+ONEPASS_T = os.environ.get("LLMSEG_ATTN_ONEPASS_T", "0") == "1"
 
 
 def _fwd1_kernel(kmax_ref, q_ref, k_ref, v_ref, o_ref, *, d_out, s_real):
@@ -360,6 +369,85 @@ def _flash_fwd_1pass(q, k, v, *, block_q, s_real):
         interpret=_interpret(),
     )(kmax, q, k, v_ext)
     return o
+
+
+def _fwd1t_kernel(kmax_ref, qt_ref, k_ref, vt_ref, ot_ref, *, d_out, s_real):
+    """Transposed one-pass forward: see the ONEPASS_T note.  qt (D, Bq)
+    pre-scaled log2; k (Sp, D); vt = [v; valid-lane]^T (De, Sp);
+    out o^T (D, Bq).  Same math as _fwd1_kernel with every tile
+    transposed: the stability bound is a (1, Bq) column term, the
+    denominator is row d_out of the V^T P dot."""
+    qt = qt_ref[0]                               # (D, Bq)
+    f32 = jnp.float32
+    qn = jnp.sqrt(jnp.sum(jnp.square(qt.astype(f32)), 0, keepdims=True))
+    b_col = jnp.maximum(qn * kmax_ref[pl.program_id(0), 0], 1.0)  # (1, Bq)
+    s = jax.lax.dot_general(k_ref[0], qt, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=_prec(qt))  # (Sp, Bq) raw log2 logits
+    p = jnp.exp2(s - b_col).astype(vt_ref.dtype)  # the ONLY hot VPU pass
+    acc = jax.lax.dot(vt_ref[0], p, preferred_element_type=jnp.float32,
+                      precision=_prec(qt))        # (De, Bq) = [o^T*l; l]
+    l = acc[d_out:d_out + 1, :]
+    ok = jnp.all(l > 1e-12)   # see _fwd1_kernel: rescue predicate
+
+    @pl.when(ok)
+    def _fast():
+        ot_ref[0] = (acc[:d_out, :] / l).astype(ot_ref.dtype)
+
+    @pl.when(jnp.logical_not(ok))
+    def _exact():
+        row = jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+        sm = s + jnp.where(row < s_real, 0.0, NEG_INF)
+        m = jnp.max(sm, axis=0, keepdims=True)
+        p2 = jnp.exp2(sm - m).astype(vt_ref.dtype)
+        acc2 = jax.lax.dot(vt_ref[0], p2,
+                           preferred_element_type=jnp.float32,
+                           precision=_prec(qt))
+        l2 = acc2[d_out:d_out + 1, :]
+        ot_ref[0] = (acc2[:d_out, :]
+                     / jnp.maximum(l2, 1e-30)).astype(ot_ref.dtype)
+
+
+def _flash_fwd_1pass_t(q, k, v, *, block_q, s_real):
+    """Transposed-output one-pass kernel.  q: (BH, Tp, D) padded and
+    pre-scaled; k, v: (BH, Sp, D) padded.  Returns o (BH, Tp, D); the
+    in/out transposes compose with the caller's pad/transpose prep and
+    epilogue (XLA folds transpose chains into one copy)."""
+    BH, Tp, D = q.shape
+    Sp = k.shape[1]
+    f32 = jnp.float32
+    kmax = jnp.max(jnp.sqrt(jnp.sum(jnp.square(k.astype(f32)), -1)),
+                   axis=-1, keepdims=True)            # (BH, 1) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, Sp, 1), 1)
+    lane = jnp.where(col < s_real, 1.0, 0.0).astype(v.dtype)
+    v_ext = jnp.concatenate(
+        [v, jnp.broadcast_to(lane, (BH, Sp, 1))], -1)
+    De = D + 1
+    qt = q.transpose(0, 2, 1)                         # (BH, D, Tp)
+    vt = v_ext.transpose(0, 2, 1)                     # (BH, De, Sp)
+    ot = pl.pallas_call(
+        functools.partial(_fwd1t_kernel, d_out=D, s_real=s_real),
+        grid=(BH, Tp // block_q),
+        in_specs=[
+            pl.BlockSpec((BH, 1), lambda bh, qi: (0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, D, block_q), lambda bh, qi: (bh, 0, qi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Sp, D), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, De, Sp), lambda bh, qi: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, D, block_q), lambda bh, qi: (bh, 0, qi),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((BH, D, Tp), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * BH * Tp * Sp * De,
+            bytes_accessed=2 * BH * (Tp + 2 * Sp) * De * q.dtype.itemsize,
+            transcendentals=BH * Tp * Sp),
+        interpret=_interpret(),
+    )(kmax, qt, k, vt)
+    return ot.transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------
@@ -573,6 +661,9 @@ def _flash_attention(q, k, v, causal, block_q, block_k, s_real):
     # kernel — sub+exp2+cast is its only VPU pass over the logits tile
     # (default on; LLMSEG_ATTN_ONEPASS=0 restores the exact-max primal)
     if ONEPASS and not causal and k.shape[1] == block_k:
+        if ONEPASS_T:
+            return _flash_fwd_1pass_t(q, k, v, block_q=block_q,
+                                      s_real=s_real)
         return _flash_fwd_1pass(q, k, v, block_q=block_q, s_real=s_real)
     o, _ = _flash_fwd(q, k, v, causal=causal, block_q=block_q,
                       block_k=block_k, s_real=s_real, with_lse=False)
@@ -637,7 +728,14 @@ def flash_attention(q, k, v, *, causal=False, scale=None,
         # measured 6% faster at the DINOv2@896 shape.  Causal keeps small
         # blocks: the per-block diagonal clamp skips ~half the work.
         block_k = _round_up(S, 128)
-        if ONEPASS:
+        if ONEPASS and ONEPASS_T:
+            # transposed variant: block_q is the LANE dim of both dots, so
+            # it must be a 128-multiple; 384 fits the tile budget at the
+            # DINOv2@896 grid (s^T 6.4MB f32 + p^T 3.2MB + k/v^T ~1.1MB)
+            bpe = 4 + 2 * q.dtype.itemsize
+            budget_q = max((12_500_000 // (bpe * block_k)) // 128 * 128,
+                           128)
+        elif ONEPASS:
             # one-pass tile budget: s f32 + p + rescue p2 in input dtype
             # = 4 + 2*itemsize bytes/logit; ~11MB leaves room for the k/v
             # double buffers under Mosaic's 16MB scoped-vmem cap.  64-
@@ -710,10 +808,15 @@ def attention(q, k, v, *, bias=None, causal=False, scale=None, impl="auto"):
     """Dispatching attention entry point.
 
     impl: 'auto' | 'flash' | 'xla'.  'auto' uses the Pallas kernel on TPU for
-    bias-free attention with enough tokens to amortize kernel launch, else XLA.
-    """
+    bias-free attention with enough tokens to amortize kernel launch, else
+    XLA.  The non-causal cutoff is 2048: at CLIP's T=257 the kernel grid is
+    64 launch-bound steps of tiny tiles and XLA's fused attention wins by
+    42% (9.0 vs 15.6 ms/tower-batch measured on v5e at batch 4), while at
+    DINOv2@896's T=4097 the kernel wins 5-9x.  Causal keeps the 256 cutoff:
+    LLaMA's s767 runs 0.046 vs 0.95 ms/layer on the kernel."""
+    min_t = 256 if causal else 2048
     if impl == "flash" or (impl == "auto" and bias is None
-                           and q.shape[1] >= 256
+                           and q.shape[1] >= min_t
                            and jax.default_backend() == "tpu"):
         return flash_attention(q, k, v, causal=causal, scale=scale)
     return attention_xla(q, k, v, bias=bias, causal=causal, scale=scale)

@@ -141,3 +141,32 @@ def test_fused_1pass_matches_exact_max_kernel():
     g = jax.grad(lambda a: jnp.sum(jnp.sin(
         A.flash_attention(a, k32, v32, block_q=128, block_k=128))))(q32)
     assert np.isfinite(np.asarray(g)).all()
+
+
+@pytest.mark.parametrize("transposed", [False, True])
+def test_fused_1pass_variants_match_xla(transposed, monkeypatch):
+    """Both one-pass layouts (straight and transposed-output) match XLA on
+    the DINO/CLIP-like non-causal single-k-block shape, including ragged
+    key padding and the adversarial Cauchy-bound rescue."""
+    monkeypatch.setattr(A, "ONEPASS", True)
+    monkeypatch.setattr(A, "ONEPASS_T", transposed)
+    q, k, v = _make(T=200, S=300, D=64, dtype=jnp.float32, seed=7)
+    out = A.flash_attention(q, k, v)
+    out_ref = A.attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=2e-5, rtol=2e-5)
+    # rescue branch: near-orthogonal huge-norm q/k
+    rng = np.random.RandomState(1)
+    B, T, S, H, D = 1, 200, 300, 2, 64
+    qa = np.zeros((B, T, H, D), np.float32)
+    ka = np.zeros((B, S, H, D), np.float32)
+    qa[..., :32] = rng.randn(B, T, H, 32) * 30.0
+    ka[..., 32:] = rng.randn(B, S, H, 32) * 30.0
+    qa[..., 32] = rng.randn(B, T, H) * 0.3
+    va = rng.randn(B, S, H, D).astype(np.float32)
+    out = A.flash_attention(jnp.asarray(qa), jnp.asarray(ka),
+                            jnp.asarray(va))
+    out_ref = A.attention_xla(jnp.asarray(qa), jnp.asarray(ka),
+                              jnp.asarray(va))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref),
+                               atol=5e-5, rtol=5e-5)

@@ -112,3 +112,48 @@ def test_every_preset_inits_and_eval_shapes():
         K = cfg.max_proposals
         assert out["pred_similarity"].shape == (1, K), name
         assert out["pred_iou"].shape == (1, K), name
+
+
+def test_fold_frozen_layerscale_exact():
+    """fold_layerscale_inplace removes the layerscale leaves and folds them
+    into out-proj/fc2; f32 tower outputs match the unfolded model exactly
+    (pure reparameterization).  The DINOv2-L production config has
+    layerscale=True; the tiny test preset does not, so build one here."""
+    import copy
+    import dataclasses
+
+    from llmseg_tpu.models import vit
+
+    cfg = dataclasses.replace(C.llmseg_tiny().dino, layerscale=True)
+    params = vit.init(jax.random.PRNGKey(3), cfg)
+    # non-trivial layerscale values (init is a constant 1e-5)
+    for i, bp in enumerate(params["blocks"]):
+        bp["ls1"] = bp["ls1"] + 0.3 * (i + 1)
+        bp["ls2"] = bp["ls2"] - 0.1 * (i + 1)
+    x = jax.random.normal(jax.random.PRNGKey(4),
+                          (2, cfg.img_size, cfg.img_size, 3), jnp.float32)
+    before = vit.dino_patch_features(params, x, cfg)
+    folded = vit.fold_layerscale_inplace(copy.deepcopy(params))
+    for bp in folded["blocks"]:
+        assert "ls1" not in bp and "ls2" not in bp
+    after = vit.dino_patch_features(folded, x, cfg)
+    np.testing.assert_allclose(np.asarray(before), np.asarray(after),
+                               rtol=1e-5, atol=1e-6)
+    # llmseg-level wrapper is a no-op on towers without layerscale
+    cfg2, params2, batch2 = _setup(rows_per_image=1, num_images=1)
+    before2 = llmseg.predict(params2, cfg2, batch2)
+    after2 = llmseg.predict(llmseg.fold_frozen_inplace(params2), cfg2,
+                            batch2)
+    np.testing.assert_array_equal(np.asarray(before2["pred_similarity"]),
+                                  np.asarray(after2["pred_similarity"]))
+
+
+def test_bilinear_upsample_matches_jax_image_resize():
+    """The separable-matmul upsample in dino_features is exactly
+    jax.image.resize('bilinear') in f32."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8),
+                          jnp.float32)
+    got = llmseg._bilinear_upsample(x, 64)
+    want = jax.image.resize(x, (2, 64, 64, 8), method="bilinear")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
