@@ -102,6 +102,49 @@ def _bilinear_upsample(fmap: jnp.ndarray, out: int) -> jnp.ndarray:
     return jnp.einsum("ow,bhwd->bhod", M, t, precision=hi)
 
 
+def _pool_dino_proposals(params: dict, cfg: LLMSegConfig,
+                         batch: Dict) -> jnp.ndarray:
+    """Mask pooling WITHOUT materializing the (B, seg_grid^2, D) upsampled
+    feature map: pooling is a weighted sum and the fp32 bilinear upsample is
+    linear, so
+
+        segs @ upsample(F)  ==  (upsample^T segs) @ F        (exactly)
+
+    — the adjoint (M x M)^T lands on the (K, G, G) proposal masks instead of
+    the (seg_grid^2, D) features, deleting the 256^2 x D materialization and
+    its pooling traversal from the e2e step.  The denominator (mask area) is
+    unchanged — computed on the full-resolution masks.  Numerically this is
+    MORE precise than dino_features + mask_pooling: the f32 adjoint/einsum
+    never rounds the upsampled map to bf16.  Same reference semantics as the
+    unfused pair (LISA.py:186-218: dino -> 1x1 conv -> fp32 bilinear 64->256
+    -> weights @ feats / sum(weights)); `dino_features` remains the public
+    unfused path (feature caching, HF parity tests, bench --tower dino).
+    Escape hatch: LLMSEG_POOL_ADJOINT=0 restores the unfused route."""
+    feats = batch.get("dino_feats")
+    if feats is not None:
+        feats = jax.lax.stop_gradient(feats)
+    else:
+        feats = jax.lax.stop_gradient(
+            vit.dino_patch_features(params["dino"], batch["images_dino"],
+                                    cfg.dino))
+    feats = selection_head.project_dino(params["select"], feats)
+    B = feats.shape[0]
+    g = cfg.dino.grid
+    segs = batch["sam_segs"].astype(jnp.float32)            # (B, K, G, G)
+    hi = jax.lax.Precision.HIGHEST
+    if cfg.seg_grid != g:
+        M = _interp_matrix(g, cfg.seg_grid)                 # (seg_grid, g)
+        t = jnp.einsum("Oh,bkOW->bkhW", M, segs, precision=hi)
+        segs_g = jnp.einsum("Ww,bkhW->bkhw", M, t, precision=hi)
+    else:
+        segs_g = segs
+    w = segs_g.reshape(B, -1, g * g)
+    pooled = jnp.einsum("bkh,bhd->bkd", w, feats.astype(jnp.float32),
+                        precision=hi)
+    denom = jnp.sum(segs, axis=(-1, -2))[..., None] + 1e-8
+    return (pooled / denom).astype(feats.dtype)
+
+
 def seg_hidden_index(input_ids: jnp.ndarray, cfg: LLMSegConfig):
     """Index (in the SPLICED sequence) of the hidden state used as the [SEG]
     intent embedding, per row.
@@ -137,13 +180,18 @@ def forward(params: dict, cfg: LLMSegConfig, batch: Dict, *,
     lv = cfg.llava
 
     # 1. DINOv2 proposal features + mask pooling (frozen tower)
-    feat_flat = dino_features(params, cfg, batch["images_dino"],
-                              precomputed=batch.get("dino_feats"))
-    B = feat_flat.shape[0]
+    import os
 
-    segs = batch["sam_segs"].reshape(B, batch["sam_segs"].shape[1], -1)
-    pooled = selection_head.mask_pooling(feat_flat,
-                                         segs.astype(feat_flat.dtype))
+    if os.environ.get("LLMSEG_POOL_ADJOINT", "1") != "0":
+        pooled = _pool_dino_proposals(params, cfg, batch)
+        B = pooled.shape[0]
+    else:
+        feat_flat = dino_features(params, cfg, batch["images_dino"],
+                                  precomputed=batch.get("dino_feats"))
+        B = feat_flat.shape[0]
+        segs = batch["sam_segs"].reshape(B, batch["sam_segs"].shape[1], -1)
+        pooled = selection_head.mask_pooling(feat_flat,
+                                             segs.astype(feat_flat.dtype))
 
     row_img = batch["row_to_image"]
     prop_embeds = pooled[row_img]                          # (R, K, 256)

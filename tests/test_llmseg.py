@@ -157,3 +157,39 @@ def test_bilinear_upsample_matches_jax_image_resize():
     want = jax.image.resize(x, (2, 64, 64, 8), method="bilinear")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_adjoint_pooling_matches_unfused_path():
+    """The fused adjoint-bilinear pooling (`_pool_dino_proposals`) must equal
+    dino_features + mask_pooling exactly (both are the same linear map,
+    reassociated): pooling a bilinear-upsampled feature map with mask
+    weights == pooling the grid-resolution map with adjoint-downsampled
+    weights.  f32 end to end, so the only differences are reassociation
+    rounding."""
+    cfg, params, batch = _setup(rows_per_image=1, num_images=2)
+    assert cfg.seg_grid != cfg.dino.grid  # the adjoint is non-trivial
+
+    fused = llmseg._pool_dino_proposals(params, cfg, batch)
+
+    feat_flat = llmseg.dino_features(params, cfg, batch["images_dino"])
+    B = feat_flat.shape[0]
+    segs = batch["sam_segs"].reshape(B, batch["sam_segs"].shape[1], -1)
+    from llmseg_tpu.models import selection_head
+    unfused = selection_head.mask_pooling(feat_flat,
+                                          segs.astype(feat_flat.dtype))
+
+    np.testing.assert_allclose(np.asarray(fused, np.float32),
+                               np.asarray(unfused, np.float32),
+                               rtol=2e-4, atol=2e-5)
+
+    # and the escape hatch reproduces the unfused forward bit-for-bit
+    import os
+    out_fused = llmseg.forward(params, cfg, batch)
+    os.environ["LLMSEG_POOL_ADJOINT"] = "0"
+    try:
+        out_unfused = llmseg.forward(params, cfg, batch)
+    finally:
+        os.environ.pop("LLMSEG_POOL_ADJOINT")
+    np.testing.assert_allclose(np.asarray(out_fused["similarity"]),
+                               np.asarray(out_unfused["similarity"]),
+                               rtol=2e-3, atol=2e-3)
